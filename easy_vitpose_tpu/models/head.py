@@ -1,0 +1,126 @@
+"""Top-down heatmap head, TPU-first (NHWC).
+
+Equivalent in math to the reference's ``TopdownHeatmapSimpleHead``
+(reference: vit_models/head/topdown_heatmap_simple_head.py:43-193):
+N deconv stages (ConvTranspose k4 s2 p1, no bias) + BatchNorm + ReLU, then a
+final 1x1 (or 3x3) conv -> K heatmaps.  16x12 features -> 64x48 heatmaps.
+
+TPU design notes:
+* ConvTranspose is lowered to ``lax.conv_general_dilated`` with ``lhs_dilation``
+  so XLA maps it onto the MXU like a regular conv (kernels are stored
+  pre-flipped in HWIO by the converter/init).
+* BatchNorm is algebraically folded into a scale+bias at inference; training
+  mode computes batch statistics and returns updated running stats.
+* The "simple" variant (0 deconvs, bilinear x4 upsample, 3x3 final conv;
+  reference train_configs/ViTPose_base_simple_coco_256x192.py:63-67) is
+  supported via ``HeadConfig.upsample``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import HeadConfig
+
+Params = Dict[str, Any]
+BN_EPS = 1e-5        # torch BatchNorm2d default
+BN_MOMENTUM = 0.1    # torch default running-stat update rate
+
+
+def conv_transpose_s2(x: jnp.ndarray, w: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """torch ConvTranspose2d(k, s=2, p=(k//2 - 1), op=0, bias=False) in NHWC.
+
+    ``w`` is (kh, kw, Cin, Cout), already spatially flipped relative to the
+    torch layout (done once at conversion/init time).
+    Output spatial dims are exactly 2x the input (for k=4, p=1).
+    """
+    pad = kernel - 1 - (kernel // 2 - 1)  # k=4 -> 2
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+           padding: str = "SAME") -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def batch_norm(x: jnp.ndarray, p: Params, *, train: bool) -> Tuple[jnp.ndarray, Params]:
+    """BatchNorm2d over NHWC. Returns (y, updated_state)."""
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * p["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * p["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = p["mean"], p["var"]
+        new_state = {"mean": p["mean"], "var": p["var"]}
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
+    return y.astype(x.dtype), new_state
+
+
+def head_forward(params: Params, x: jnp.ndarray, cfg: HeadConfig,
+                 *, train: bool = False) -> Tuple[jnp.ndarray, Params]:
+    """(B, Hp, Wp, D) features -> (B, 4*Hp, 4*Wp, K) heatmaps (NHWC).
+
+    Returns (heatmaps, new_bn_state) where new_bn_state mirrors
+    ``params['bn_state']`` (running mean/var per deconv stage).
+    """
+    new_bn = []
+    for i, k in enumerate(cfg.deconv_kernels):
+        x = conv_transpose_s2(x, params["deconv"][i]["w"], k)
+        y, st = batch_norm(x, {**params["deconv"][i]["bn"],
+                               **params["bn_state"][i]}, train=train)
+        new_bn.append(st)
+        x = jnp.maximum(y, 0)
+    if cfg.upsample and cfg.upsample > 1:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * cfg.upsample, W * cfg.upsample, C),
+                             method="bilinear")
+    x = conv2d(x, params["final_w"], params["final_b"],
+               padding="SAME" if cfg.final_conv_kernel > 1 else "VALID")
+    return x, new_bn
+
+
+def init_head_params(rng: jax.Array, cfg: HeadConfig, dtype=jnp.float32) -> Params:
+    """Init mirroring the reference (normal std=0.001 convs, BN gamma=1;
+    reference simple_head.py:323-334)."""
+    keys = jax.random.split(rng, len(cfg.deconv_filters) + 1)
+    deconv, bn_state = [], []
+    cin = cfg.in_channels
+    for i, (f, k) in enumerate(zip(cfg.deconv_filters, cfg.deconv_kernels)):
+        w = (jax.random.normal(keys[i], (k, k, cin, f)) * 0.001).astype(dtype)
+        deconv.append({
+            "w": w,
+            "bn": {"scale": jnp.ones((f,), dtype), "bias": jnp.zeros((f,), dtype)},
+        })
+        bn_state.append({"mean": jnp.zeros((f,), jnp.float32),
+                         "var": jnp.ones((f,), jnp.float32)})
+        cin = f
+    kf = cfg.final_conv_kernel
+    return {
+        "deconv": deconv,
+        "bn_state": bn_state,
+        "final_w": (jax.random.normal(keys[-1], (kf, kf, cin, cfg.num_keypoints))
+                    * 0.001).astype(dtype),
+        "final_b": jnp.zeros((cfg.num_keypoints,), dtype),
+    }

@@ -1,0 +1,194 @@
+"""ViTPose backbone, TPU-first.
+
+Functional (params-pytree) plain-ViT encoder equivalent in math to the
+reference backbone (reference: vit_models/backbone/vit.py:263-394) but designed
+for XLA/TPU:
+
+* NHWC layout end-to-end (TPU conv native layout); the patch conv is lowered to
+  one big matmul over unfolded patches so it lands on the MXU.
+* fused QKV projection; attention computed in (B, heads, N, d) with bf16
+  matmuls and f32 accumulation (``preferred_element_type``).
+* no data-dependent control flow; the block stack is a ``lax.scan`` over
+  stacked per-layer parameters so the compiled HLO is depth-independent.
+* exact-erf GELU (torch ``nn.GELU`` default), LayerNorm eps 1e-6.
+
+Reference quirks reproduced (load-bearing for checkpoint parity):
+* PatchEmbed conv k16 s16 **padding=2** (the reference's padding expression
+  4+2*(ratio//2-1) evaluates to 2 at ratio=1) -> 16x12 = 192 tokens for
+  256x192 input (reference vit.py:222).
+* pos-embed has a leading (pre-training cls) token and is applied as
+  ``x + pos_embed[:, 1:] + pos_embed[:, :1]`` (reference vit.py:382).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import BackboneConfig
+
+Params = Dict[str, Any]
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm over the trailing dim, computed in f32 for stability."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def patch_embed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                patch: int, pad: int) -> jnp.ndarray:
+    """Patch embedding as unfold + matmul (MXU-friendly).
+
+    Args:
+      x: (B, H, W, 3) NHWC image.
+      w: (patch*patch*3, D) flattened projection (converted from torch OIHW).
+      b: (D,)
+    Returns:
+      (B, Hp*Wp, D) tokens; Hp/Wp include the reference's padding=4 quirk.
+    """
+    B, H, W, C = x.shape
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    Hp = (H + 2 * pad - patch) // patch + 1
+    Wp = (W + 2 * pad - patch) // patch + 1
+    # Non-overlapping stride==kernel after cropping to an exact multiple.
+    x = x[:, : Hp * patch, : Wp * patch, :]
+    x = x.reshape(B, Hp, patch, Wp, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp * Wp, patch * patch * C)
+    return (_dot(x, w) + b).astype(x.dtype)
+
+
+def attention(x: jnp.ndarray, p: Params, num_heads: int) -> jnp.ndarray:
+    """Fused-QKV MHSA (reference vit.py:143-180 semantics)."""
+    B, N, D = x.shape
+    qkv = _dot(x, p["qkv_w"]) + p["qkv_b"]          # (B, N, 3D) f32
+    qkv = qkv.astype(x.dtype).reshape(B, N, 3, num_heads, D // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, h, d)
+    q = jnp.swapaxes(q, 1, 2)                        # (B, h, N, d)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    scale = (D // num_heads) ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+    return (_dot(out, p["proj_w"]) + p["proj_b"]).astype(x.dtype)
+
+
+def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    h = _dot(x, p["fc1_w"]) + p["fc1_b"]
+    # torch nn.GELU default is the exact erf form, NOT tanh-approx.
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    return (_dot(h, p["fc2_w"]) + p["fc2_b"]).astype(x.dtype)
+
+
+def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
+          drop_path_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Pre-LN transformer block (reference vit.py:182-205).
+
+    ``drop_path_keep``: optional (B, 1, 1) pre-scaled stochastic-depth mask
+    (mask/keep_prob) applied to each residual branch during training.
+    """
+    a = attention(layer_norm(x, p["ln1_s"], p["ln1_b"], eps), p, num_heads)
+    if drop_path_keep is not None:
+        a = a * drop_path_keep
+    x = x + a
+    m = mlp(layer_norm(x, p["ln2_s"], p["ln2_b"], eps), p["mlp"])
+    if drop_path_keep is not None:
+        m = m * drop_path_keep
+    return x + m
+
+
+def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
+                *, train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Run the backbone.
+
+    Args:
+      params: pytree with keys ``patch_w, patch_b, pos_embed, blocks, ln_s, ln_b``.
+        ``blocks`` holds per-layer params stacked on a leading depth axis.
+      x: (B, H, W, 3) normalized image, NHWC.
+      train: apply stochastic depth (drop-path) when True.
+      rng: PRNG key for drop-path (required when train and drop_path_rate > 0).
+
+    Returns:
+      (B, Hp, Wp, D) feature map, NHWC.
+    """
+    B = x.shape[0]
+    tokens = patch_embed(x, params["patch_w"], params["patch_b"],
+                         cfg.patch_size, cfg.patch_padding)
+    pe = params["pos_embed"]  # (1, N+1, D), leading slot is the vestigial cls token
+    tokens = tokens + (pe[:, 1:] + pe[:, :1]).astype(tokens.dtype)
+
+    depth = cfg.depth
+    dpr = np.linspace(0.0, cfg.drop_path_rate, depth).astype(np.float32)
+    use_dp = train and cfg.drop_path_rate > 0.0
+    if use_dp:
+        assert rng is not None, "rng required for drop-path in training"
+        keys = jax.random.split(rng, depth)
+        keep_prob = 1.0 - jnp.asarray(dpr)
+        masks = jax.vmap(
+            lambda k, kp: jnp.floor(kp + jax.random.uniform(k, (B, 1, 1))) / kp
+        )(keys, keep_prob)  # (depth, B, 1, 1), pre-scaled by 1/keep
+    else:
+        masks = None
+
+    def body(carry, layer):
+        p, mask = (layer, None) if masks is None else layer
+        out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask)
+        return out, None
+
+    xs = params["blocks"] if masks is None else (params["blocks"], masks)
+    tokens, _ = jax.lax.scan(body, tokens, xs)
+
+    tokens = layer_norm(tokens, params["ln_s"], params["ln_b"], cfg.layer_norm_eps)
+    Hp, Wp = cfg.patch_shape
+    return tokens.reshape(B, Hp, Wp, cfg.embed_dim)
+
+
+def init_vit_params(rng: jax.Array, cfg: BackboneConfig,
+                    dtype=jnp.float32) -> Params:
+    """Random init mirroring the reference scheme (trunc-normal 0.02 linears,
+    zero biases, unit LN; reference vit.py:348-366)."""
+    D = cfg.embed_dim
+    hidden = int(D * cfg.mlp_ratio)
+    n_tok = cfg.num_tokens
+    kp, ke, *kb = jax.random.split(rng, 2 + cfg.depth)
+
+    def tn(key, shape, std=0.02):
+        return (jax.random.truncated_normal(key, -2.0, 2.0, shape) * std).astype(dtype)
+
+    def block_params(key):
+        k = jax.random.split(key, 4)
+        return {
+            "ln1_s": jnp.ones((D,), dtype), "ln1_b": jnp.zeros((D,), dtype),
+            "qkv_w": tn(k[0], (D, 3 * D)), "qkv_b": jnp.zeros((3 * D,), dtype),
+            "proj_w": tn(k[1], (D, D)), "proj_b": jnp.zeros((D,), dtype),
+            "ln2_s": jnp.ones((D,), dtype), "ln2_b": jnp.zeros((D,), dtype),
+            "mlp": {
+                "fc1_w": tn(k[2], (D, hidden)), "fc1_b": jnp.zeros((hidden,), dtype),
+                "fc2_w": tn(k[3], (hidden, D)), "fc2_b": jnp.zeros((D,), dtype),
+            },
+        }
+
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *[block_params(k) for k in kb])
+    return {
+        "patch_w": tn(kp, (cfg.patch_size * cfg.patch_size * cfg.in_chans, D)),
+        "patch_b": jnp.zeros((D,), dtype),
+        "pos_embed": tn(ke, (1, n_tok + 1, D)),
+        "blocks": blocks,
+        "ln_s": jnp.ones((D,), dtype),
+        "ln_b": jnp.zeros((D,), dtype),
+    }

@@ -1,0 +1,54 @@
+"""ViTPose = ViT backbone + heatmap head (reference: vit_models/model.py:10-24).
+
+Pure-functional composition; params pytree is ``{"backbone": ..., "head": ...}``.
+Outputs heatmaps in NCHW order at the API boundary to match the reference's
+(B, K, 64, 48) convention (internals are NHWC for TPU).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from .head import head_forward, init_head_params
+from .vit import init_vit_params, vit_forward
+
+Params = Dict[str, Any]
+
+
+def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
+                    *, train: bool = False,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, 256, 192, 3) normalized NHWC crops -> (B, K, 64, 48) heatmaps."""
+    feats = vit_forward(params["backbone"], x, cfg.backbone, train=train, rng=rng)
+    heat, _ = head_forward(params["head"], feats, cfg.head, train=False)
+    return jnp.transpose(heat, (0, 3, 1, 2))
+
+
+def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
+                          rng: Optional[jax.Array] = None
+                          ) -> Tuple[jnp.ndarray, Any]:
+    """Training forward: returns (heatmaps NCHW, new_bn_state)."""
+    feats = vit_forward(params["backbone"], x, cfg.backbone, train=True, rng=rng)
+    heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True)
+    return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
+
+
+def init_vitpose_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    kb, kh = jax.random.split(rng)
+    return {
+        "backbone": init_vit_params(kb, cfg.backbone, dtype),
+        "head": init_head_params(kh, cfg.head, dtype),
+    }
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast floating-point weights (keeps BN running stats in f32)."""
+    def cast(path, x):
+        if any(isinstance(k, jax.tree_util.DictKey) and k.key in ("mean", "var")
+               for k in path):
+            return x
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map_with_path(cast, params)

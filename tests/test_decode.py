@@ -1,0 +1,67 @@
+"""Golden tests: jnp decode stack vs the reference numpy/cv2 oracle.
+
+Fixtures in tests/golden/decode_golden.npz were produced by
+scripts/make_decode_golden.py running the reference implementation
+(reference vit_utils/top_down_eval.py) — regenerate if semantics change.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu.ops import decode
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "decode_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDEN)
+
+
+def test_get_max_preds_matches_reference(g):
+    preds, maxvals = decode.get_max_preds(g["heatmaps"])
+    np.testing.assert_array_equal(np.asarray(preds), g["preds_argmax"])
+    np.testing.assert_allclose(np.asarray(maxvals), g["maxvals"], rtol=0, atol=0)
+
+
+def test_gaussian_kernel_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    for k in (11, 17):
+        ours = decode.gaussian_kernel_1d(k)
+        ref = cv2.getGaussianKernel(k, 0).ravel().astype(np.float32)
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_gaussian_blur_matches_cv2(g):
+    cv2 = pytest.importorskip("cv2")
+    hm = g["heatmaps"][:2].copy()
+    ref = hm.copy()
+    for n in range(ref.shape[0]):
+        for k in range(ref.shape[1]):
+            cv2.GaussianBlur(ref[n, k], (11, 11), 0, ref[n, k])
+    ours = np.asarray(decode.gaussian_blur_2d(hm, 11))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+@pytest.mark.parametrize("kernel,key", [(11, "preds_udp"), (17, "preds_udp_k17")])
+def test_post_dark_udp_matches_reference(g, kernel, key):
+    preds, _ = decode.get_max_preds(g["heatmaps"])
+    refined = decode.post_dark_udp(preds, g["heatmaps"], kernel=kernel)
+    # float32 op-ordering noise through log() near the 0.001 clip floor;
+    # 2e-2 heatmap px ~= 0.1 image px at typical bbox scales.
+    np.testing.assert_allclose(np.asarray(refined), g[key], atol=2e-2)
+
+
+def test_full_udp_decode_matches_reference(g):
+    preds, maxvals = decode.keypoints_from_heatmaps_udp(
+        g["heatmaps"], g["centers"], g["scales"], kernel=11)
+    np.testing.assert_allclose(np.asarray(preds), g["preds_full"], atol=0.1)
+    np.testing.assert_allclose(np.asarray(maxvals), g["maxvals_full"], atol=0)
+
+
+def test_decode_is_jittable(g):
+    import jax
+    f = jax.jit(lambda h, c, s: decode.keypoints_from_heatmaps_udp(h, c, s))
+    preds, _ = f(g["heatmaps"], g["centers"], g["scales"])
+    np.testing.assert_allclose(np.asarray(preds), g["preds_full"], atol=0.1)
