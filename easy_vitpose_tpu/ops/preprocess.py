@@ -1,0 +1,126 @@
+"""On-device crop preprocessing: bbox -> normalized pose crop, fully fused.
+
+The reference materializes each person crop on host: numpy slice -> pad to 3/4
+aspect (vit_utils/inference.py:41-70) -> cv2.resize to 192x256 -> normalize ->
+upload (easy_ViTPose/inference.py:259-268, :314-318).  That is one
+host<->device round-trip *per person per frame* — the central inefficiency.
+
+Here the whole chain is a single gather-based bilinear sample per output pixel,
+computed directly from the integer bbox, for a fixed batch of person slots, so
+it fuses into the same XLA program as the model forward pass:
+
+  dst (r, c) of crop m
+    -> padded-crop coords  (cv2.resize half-pixel convention, clamped at edges)
+    -> un-pad (left/top pad of the 3/4 aspect-ratio padding, zeros outside)
+    -> frame coords (bbox offset)
+    -> bilinear gather from the full frame (uint8 in HBM, f32 after gather)
+    -> ImageNet normalize.
+
+Exact integer semantics of the reference are kept: banker's rounding of float
+boxes (np.round), the +/-10 px bbox inflation with frame clipping
+(easy_ViTPose/inference.py:254-262), integer pad split pad//2
+(vit_utils/inference.py:53,63), and int(w/0.75) == (4*w)//3 target dims.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import IMAGE_SIZE, IMAGENET_MEAN, IMAGENET_STD
+
+PAD_BBOX = 10  # reference easy_ViTPose/inference.py:254
+ASPECT_W, ASPECT_H = 3, 4  # crop aspect ratio 3/4
+
+
+def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int]):
+    """Integer crop/pad geometry per box.
+
+    Args:
+      boxes: (M, 4) float [x1, y1, x2, y2] detector boxes (pre-inflation).
+      frame_hw: static (H, W) of the frame.
+    Returns:
+      dict of (M,) int32 arrays: x1, y1 (inflated, clipped crop origin),
+      wc, hc (crop size), wp, hp (padded size), left, top (pad offsets).
+    """
+    H, W = frame_hw
+    b = jnp.rint(boxes).astype(jnp.int32)  # np.round -> banker's rounding
+    x1 = jnp.clip(b[:, 0] - PAD_BBOX, 0, W)
+    y1 = jnp.clip(b[:, 1] - PAD_BBOX, 0, H)
+    x2 = jnp.clip(b[:, 2] + PAD_BBOX, 0, W)
+    y2 = jnp.clip(b[:, 3] + PAD_BBOX, 0, H)
+    wc = jnp.maximum(x2 - x1, 1)
+    hc = jnp.maximum(y2 - y1, 1)
+    # pad_image(crop, 3/4): pad width if w/h < 3/4 else pad height
+    pad_horiz = ASPECT_H * wc < ASPECT_W * hc
+    wp = jnp.where(pad_horiz, (ASPECT_W * hc) // ASPECT_H, wc)
+    hp = jnp.where(pad_horiz, hc, (ASPECT_H * wc) // ASPECT_W)
+    # int(w/0.75) may round *down* below w for some ints -> reference keeps
+    # original size in that degenerate direction; guard with max.
+    wp = jnp.maximum(wp, wc)
+    hp = jnp.maximum(hp, hc)
+    left = jnp.where(pad_horiz, (wp - wc) // 2, 0)
+    top = jnp.where(pad_horiz, 0, (hp - hc) // 2)
+    return {"x1": x1, "y1": y1, "wc": wc, "hc": hc,
+            "wp": wp, "hp": hp, "left": left, "top": top}
+
+
+def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE
+                 ) -> jnp.ndarray:
+    """Bilinear-sample all crops from the frame in one fused gather.
+
+    Args:
+      frame: (H, W, 3) uint8 (or float) RGB frame.
+      geo: output of :func:`crop_geometry` for M boxes.
+      out_wh: (W_out, H_out) pose input size, default (192, 256).
+    Returns:
+      (M, H_out, W_out, 3) float32 crops in [0, 255] range.
+    """
+    H, W = frame.shape[:2]
+    OW, OH = out_wh
+    f = frame.astype(jnp.float32)
+
+    wp = geo["wp"].astype(jnp.float32)[:, None]          # (M, 1)
+    hp = geo["hp"].astype(jnp.float32)[:, None]
+    # cv2.resize INTER_LINEAR half-pixel mapping, clamped at source edges
+    sx = (jnp.arange(OW, dtype=jnp.float32) + 0.5)[None, :] * (wp / OW) - 0.5
+    sy = (jnp.arange(OH, dtype=jnp.float32) + 0.5)[None, :] * (hp / OH) - 0.5
+    sx = jnp.clip(sx, 0.0, wp - 1.0)                      # (M, OW)
+    sy = jnp.clip(sy, 0.0, hp - 1.0)                      # (M, OH)
+
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - x0
+    fy = sy - y0
+
+    def corner(yi, xi):
+        """Value of padded-crop pixel (yi, xi): frame value inside the crop
+        window, 0 in the constant-pad region (np.pad mode='constant')."""
+        # (M, OH) x (M, OW) -> (M, OH, OW)
+        in_x = (xi >= geo["left"][:, None]) & (xi < (geo["left"] + geo["wc"])[:, None])
+        in_y = (yi >= geo["top"][:, None]) & (yi < (geo["top"] + geo["hc"])[:, None])
+        gx = jnp.clip(xi - geo["left"][:, None] + geo["x1"][:, None], 0, W - 1)
+        gy = jnp.clip(yi - geo["top"][:, None] + geo["y1"][:, None], 0, H - 1)
+        vals = f[gy[:, :, None], gx[:, None, :]]          # (M, OH, OW, 3)
+        valid = (in_y[:, :, None] & in_x[:, None, :])[..., None]
+        return jnp.where(valid, vals, 0.0)
+
+    xp1 = jnp.minimum(x0 + 1, geo["wp"][:, None] - 1)
+    yp1 = jnp.minimum(y0 + 1, geo["hp"][:, None] - 1)
+    v00 = corner(y0, x0)
+    v01 = corner(y0, xp1)
+    v10 = corner(yp1, x0)
+    v11 = corner(yp1, xp1)
+    wx = fx[:, None, :, None]
+    wy = fy[:, :, None, None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def normalize_crops(crops: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """/255 then ImageNet mean/std (reference easy_ViTPose/inference.py:314-318)."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return ((crops - mean) / std).astype(dtype)

@@ -1,0 +1,89 @@
+"""The fused per-frame pose step: boxes -> keypoints in ONE jitted program.
+
+This is the TPU-first replacement for the reference's per-person host loop
+(easy_ViTPose/inference.py:259-272, which crops/pads/resizes/uploads/downloads
+once per person).  Here a fixed batch of person slots is processed entirely
+on-device:
+
+  frame (H, W, 3) uint8 + boxes (M, 4) + mask (M,)
+    -> crop_geometry / sample_crops / normalize   (ops/preprocess.py)
+    -> ViTPose forward (models/)                   -> (M, K, 64, 48)
+    -> UDP decode (ops/decode.py)                  -> (M, K, 2) + scores
+    -> un-crop to frame coords
+    -> (M, K, 3) keypoints as (y, x, score) — the reference's output layout
+       (easy_ViTPose/inference.py:205, :270).
+
+Person count is padded to a static slot count M (bucketed by the caller) so
+XLA compiles once per (frame shape, M) pair; masked slots compute garbage
+that is zeroed at the end — branchless, recompile-free.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import HEATMAP_SIZE, IMAGE_SIZE, ModelConfig
+from ..models.vitpose import vitpose_forward
+from ..ops import decode
+from ..ops.preprocess import crop_geometry, normalize_crops, sample_crops
+
+
+def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
+              mask: jnp.ndarray, cfg: ModelConfig,
+              *, compute_dtype=jnp.float32, modulate_kernel: int = 11
+              ) -> jnp.ndarray:
+    """Run pose estimation for up to M people on one frame.
+
+    Args:
+      params: ViTPose params pytree (cast to ``compute_dtype`` by the caller
+        for bf16 serving).
+      frame: (H, W, 3) uint8 RGB frame (device array).
+      boxes: (M, 4) float32 [x1, y1, x2, y2] detector/tracker boxes.
+      mask: (M,) bool; False slots are padding.
+      cfg: model config.
+
+    Returns:
+      (M, K, 3) float32 keypoints as (y, x, score) in frame coordinates;
+      masked slots are all-zero.
+    """
+    geo = crop_geometry(boxes, frame.shape[:2])
+    crops = sample_crops(frame, geo, IMAGE_SIZE)
+    x = normalize_crops(crops, dtype=compute_dtype)
+    heatmaps = vitpose_forward(params, x, cfg).astype(jnp.float32)
+
+    # decode with the padded-crop center/scale, exactly like
+    # VitInference.postprocess (easy_ViTPose/inference.py:200-204):
+    # center = (w//2, h//2), scale = (w, h) of the padded crop.
+    center = jnp.stack([geo["wp"] // 2, geo["hp"] // 2], axis=-1).astype(jnp.float32)
+    scale = jnp.stack([geo["wp"], geo["hp"]], axis=-1).astype(jnp.float32)
+    preds, maxvals = decode.keypoints_from_heatmaps_udp(
+        heatmaps, center, scale, kernel=modulate_kernel)
+
+    # un-crop: x += x1 - left ; y += y1 - top  (inference.py:270)
+    off_x = (geo["x1"] - geo["left"]).astype(jnp.float32)
+    off_y = (geo["y1"] - geo["top"]).astype(jnp.float32)
+    xk = preds[..., 0] + off_x[:, None]
+    yk = preds[..., 1] + off_y[:, None]
+    kpts = jnp.stack([yk, xk, maxvals[..., 0]], axis=-1)
+    return kpts * mask[:, None, None].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
+                                             "modulate_kernel"))
+def pose_step_jit(params, frame, boxes, mask, cfg: ModelConfig,
+                  compute_dtype=jnp.float32, modulate_kernel: int = 11):
+    return pose_step(params, frame, boxes, mask, cfg,
+                     compute_dtype=compute_dtype,
+                     modulate_kernel=modulate_kernel)
+
+
+def bucket_slots(n: int, min_slots: int = 1, max_slots: int = 64) -> int:
+    """Static person-slot count for n detections: next power of two, so the
+    number of distinct compiled programs stays logarithmic."""
+    m = min_slots
+    while m < n:
+        m *= 2
+    return min(m, max_slots)

@@ -44,6 +44,8 @@ def dump(name, cfg_kwargs, seed):
             if isinstance(m, torch.nn.BatchNorm2d):
                 m.running_mean.normal_(0, 0.5)
                 m.running_var.uniform_(0.5, 2.0)
+        fl = model.keypoint_head.final_layer
+        fl.bias.normal_(0, 0.02)
         x = torch.randn(2, 3, 256, 192)
         y = model(x)
     sd = {k: v.numpy() for k, v in model.state_dict().items()}

@@ -72,5 +72,5 @@ def test_bf16_forward_close_to_f32():
     p16 = cast_params(params, jnp.bfloat16)
     y16 = np.asarray(vitpose_forward(p16, x.astype(jnp.bfloat16), cfg),
                      dtype=np.float32)
-    # heatmaps are ~[0, 1]; bf16 has ~3 decimal digits
-    assert np.max(np.abs(y16 - y_ref)) < 0.1
+    rng = np.ptp(y_ref)
+    assert np.max(np.abs(y16 - y_ref)) < 0.02 * rng
