@@ -1,0 +1,219 @@
+"""VitInference: the public orchestrator (API-compatible with the reference's
+single public class, easy_ViTPose/inference.py:51-337).
+
+Capability parity:
+* ctor args: model, yolo, model_name, det_class, dataset, yolo_size, device,
+  is_video, single_pose, yolo_step (same names/semantics).
+* ``inference(img) -> {id: (K, 3) ndarray of (y, x, score)}``; ``draw()``;
+  ``reset()``; classmethod ``postprocess``.
+* dataset inference from the checkpoint filename; det-class -> COCO classes.
+
+TPU-first differences:
+* the detector, per-person crops, pose forward and UDP decode all run in
+  fused jitted device programs — no per-person host round-trips
+  (the reference does 2 device crossings per person per frame).
+* person slots are bucketed to powers of two so XLA compiles a handful of
+  program shapes per video.
+* weights can run in bf16 (``dtype='bf16'``), the TPU-native serving dtype.
+* ``inference(img, bboxes=...)`` accepts precomputed boxes (detector-free
+  usage, BASELINE config 1).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (DETC_TO_YOLO_YOLOC, NUM_KEYPOINTS, get_model_config,
+                       infer_dataset_by_path)
+from ..models.vitpose import cast_params
+from ..ops import decode as decode_ops
+from ..skeletons import joints_dict
+from ..track.sort import Sort
+from ..utils.visualization import draw_bboxes, draw_points_and_skeleton
+from .pose_step import bucket_slots, pose_step_jit
+
+__all__ = ["VitInference"]
+
+YOLO_CONF_THRESHOLD = 0.35   # reference easy_ViTPose/inference.py:241
+
+
+class VitInference:
+    def __init__(self, model: str,
+                 yolo: Optional[str] = None,
+                 model_name: Optional[str] = None,
+                 det_class: Optional[str] = None,
+                 dataset: Optional[str] = None,
+                 yolo_size: Optional[int] = 320,
+                 device: Optional[str] = None,
+                 is_video: bool = False,
+                 single_pose: bool = False,
+                 yolo_step: int = 1,
+                 dtype: str = "fp32",
+                 max_people: int = 64):
+        assert os.path.exists(model), f"The model file {model} does not exist"
+        if yolo is not None:
+            assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
+
+        self.yolo_size = yolo_size
+        self.yolo_step = yolo_step
+        self.is_video = is_video
+        self.single_pose = single_pose
+        self.max_people = max_people
+        self.device = device  # informational; JAX picks the backend
+
+        # dataset from filename if not given (reference :123-128)
+        if dataset is None:
+            dataset = infer_dataset_by_path(model)
+        assert dataset in NUM_KEYPOINTS, f"invalid dataset {dataset!r}"
+        self.dataset = dataset
+
+        if det_class is None:
+            det_class = "animals" if dataset in ("ap10k", "apt36k") else "human"
+        self.det_class = det_class
+        self.yolo_classes = DETC_TO_YOLO_YOLOC[det_class]
+
+        assert model_name in (None, "s", "b", "l", "h"), \
+            f"The model name {model_name} is not valid"
+        if model_name is None:
+            raise ValueError("model_name ('s'|'b'|'l'|'h') is required")
+        self.cfg = get_model_config(dataset, model_name)
+
+        # --- weights ---
+        if model.endswith(".pth"):
+            from ..convert.vitpose_torch import load_torch_checkpoint
+            params = load_torch_checkpoint(model, self.cfg)
+        elif model.endswith(".npz"):
+            from ..utils.checkpoint import load_params
+            params = load_params(model)
+        else:
+            raise ValueError(f"unsupported checkpoint format: {model}")
+        self.compute_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") \
+            else jnp.float32
+        params = jax.tree.map(jnp.asarray, params)
+        if self.compute_dtype == jnp.bfloat16:
+            params = cast_params(params, jnp.bfloat16)
+        self._params = params
+
+        # --- detector ---
+        self._detector = None
+        if yolo is not None:
+            from ..detect.yolo import YoloDetector
+            self._detector = YoloDetector(yolo, imgsz=yolo_size,
+                                          classes=self.yolo_classes,
+                                          dtype=self.compute_dtype)
+
+        self.reset()
+
+        # state for draw()
+        self.save_state = True
+        self._img = None
+        self._yolo_res = None
+        self._tracker_res = None
+        self._keypoints = None
+        self._scores_bbox = {}
+
+    # ------------------------------------------------------------------ api
+
+    def reset(self):
+        """Reset per-video state (frame counter + tracker); reference :174-185."""
+        min_hits = 3 if self.yolo_step == 1 else 1
+        use_tracker = self.is_video and not self.single_pose
+        self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
+                            iou_threshold=0.3) if use_tracker else None
+        self.frame_counter = 0
+
+    @classmethod
+    def postprocess(cls, heatmaps: np.ndarray, org_w: int, org_h: int
+                    ) -> np.ndarray:
+        """Heatmaps -> (N, K, 3) (y, x, score); reference :187-205."""
+        center = np.array([[org_w // 2, org_h // 2]], np.float32)
+        center = np.repeat(center, heatmaps.shape[0], 0)
+        scale = np.repeat(np.array([[org_w, org_h]], np.float32),
+                          heatmaps.shape[0], 0)
+        pts, prob = decode_ops.keypoints_from_heatmaps_udp(
+            jnp.asarray(heatmaps), jnp.asarray(center), jnp.asarray(scale))
+        pts = np.asarray(pts)
+        prob = np.asarray(prob)
+        return np.concatenate([pts[:, :, ::-1], prob], axis=2)
+
+    def inference(self, img: np.ndarray,
+                  bboxes: Optional[np.ndarray] = None
+                  ) -> Dict[Any, np.ndarray]:
+        """Detect (or take given boxes) -> track -> pose. img is RGB HWC uint8.
+
+        Returns {person_id: (K, 3) float32 (y, x, score)}.
+        """
+        res_pd = np.empty((0, 5), np.float32)
+        results = None
+        if bboxes is not None:
+            bb = np.asarray(bboxes, np.float32).reshape(-1, 5)
+            res_pd = bb
+        elif self._detector is not None and (
+                self.tracker is None
+                or self.frame_counter % self.yolo_step == 0
+                or self.frame_counter < 3):
+            results = self._detector(img)
+            if len(results):
+                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD]
+        self.frame_counter += 1
+
+        ids = None
+        if self.tracker is not None:
+            res_pd = self.tracker.update(res_pd)
+            ids = res_pd[:, 5].astype(int).tolist()
+
+        bboxes_i = res_pd[:, :4].round().astype(int)
+        scores = res_pd[:, 4].tolist()
+        if ids is None:
+            ids = list(range(len(bboxes_i)))
+
+        frame_keypoints: Dict[Any, np.ndarray] = {}
+        scores_bbox: Dict[Any, float] = {}
+        n = len(bboxes_i)
+        if n:
+            M = bucket_slots(n, max_slots=self.max_people)
+            boxes_p = np.zeros((M, 4), np.float32)
+            boxes_p[:n] = res_pd[:n, :4]
+            mask = np.zeros((M,), bool)
+            mask[:n] = True
+            out = pose_step_jit(self._params, jnp.asarray(img),
+                                jnp.asarray(boxes_p), jnp.asarray(mask),
+                                self.cfg, compute_dtype=self.compute_dtype)
+            out = np.asarray(out)
+            for i, (pid, score) in enumerate(zip(ids, scores)):
+                frame_keypoints[pid] = out[i]
+                scores_bbox[pid] = score
+
+        if self.save_state:
+            self._img = img
+            self._yolo_res = results
+            self._tracker_res = (bboxes_i, ids, scores)
+            self._keypoints = frame_keypoints
+            self._scores_bbox = scores_bbox
+        return frame_keypoints
+
+    def draw(self, show_yolo: bool = True, show_raw_yolo: bool = False,
+             confidence_threshold: float = 0.5) -> np.ndarray:
+        """Render stored keypoints/bboxes; returns RGB image (reference :283-312)."""
+        img = np.array(self._img)[..., ::-1].copy()  # RGB -> BGR for cv2
+        bboxes, ids, scores = self._tracker_res
+        if show_raw_yolo or (self.tracker is None and show_yolo):
+            if self._yolo_res is not None and len(self._yolo_res):
+                r = self._yolo_res
+                img = draw_bboxes(img, r[:, :4].astype(int),
+                                  range(len(r)), r[:, 4].tolist())
+        if show_yolo and self.tracker is not None:
+            img = draw_bboxes(img, bboxes, ids, scores)
+        for idx, k in self._keypoints.items():
+            img = draw_points_and_skeleton(
+                img.copy(), k, joints_dict()[self.dataset]["skeleton"],
+                person_index=idx,
+                points_color_palette="gist_rainbow",
+                skeleton_color_palette="jet",
+                points_palette_samples=10,
+                confidence_threshold=confidence_threshold)
+        return img[..., ::-1]  # back to RGB

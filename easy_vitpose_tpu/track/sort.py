@@ -1,0 +1,161 @@
+"""SORT multi-object tracker with batched Kalman math.
+
+Same observable semantics as the reference tracker (easy_ViTPose/sort.py:
+203-266): per-frame ``update(dets)`` returning [x1,y1,x2,y2,score,id] rows,
+IoU-gated Hungarian association with the unambiguous-greedy shortcut
+(sort.py:169-174), min_hits warm-up, max_age retirement, and the coast-through
+behaviour on empty-detection frames (sort.py:259-265) that lets
+``yolo_step > 1`` skip the detector.
+
+Unlike the reference (one filterpy.KalmanFilter object per track, python
+loops), all per-track state lives in stacked arrays and predict/update run
+batched over every track at once (track/kalman.py).  ID bookkeeping stays on
+host — it is inherently sequential and costs nanoseconds.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import kalman
+
+
+def linear_assignment(cost: np.ndarray) -> np.ndarray:
+    """Hungarian assignment -> (n, 2) [det_idx, trk_idx] pairs."""
+    from scipy.optimize import linear_sum_assignment
+    r, c = linear_sum_assignment(cost)
+    return np.stack([r, c], axis=1)
+
+
+def associate(dets: np.ndarray, trks: np.ndarray, iou_threshold: float):
+    """Match detections to tracker boxes (reference sort.py:158-200).
+
+    Returns (matches (n,2), unmatched_dets (list), unmatched_trks (list)).
+    """
+    if len(trks) == 0:
+        return (np.empty((0, 2), int), np.arange(len(dets)),
+                np.empty((0,), int))
+    iou = kalman.iou_matrix(dets[:, :4], trks[:, :4])
+    if min(iou.shape) > 0:
+        above = (iou > iou_threshold).astype(np.int32)
+        if above.sum(1).max() == 1 and above.sum(0).max() == 1:
+            matched = np.stack(np.where(above), axis=1)  # unambiguous greedy
+        else:
+            matched = linear_assignment(-iou)
+    else:
+        matched = np.empty((0, 2), int)
+
+    unmatched_dets = [d for d in range(len(dets)) if d not in matched[:, 0]]
+    unmatched_trks = [t for t in range(len(trks)) if t not in matched[:, 1]]
+    matches = []
+    for m in matched:
+        if iou[m[0], m[1]] < iou_threshold:
+            unmatched_dets.append(m[0])
+            unmatched_trks.append(m[1])
+        else:
+            matches.append(m)
+    matches = (np.stack(matches) if matches else np.empty((0, 2), int))
+    return matches, np.array(unmatched_dets), np.array(unmatched_trks)
+
+
+class Sort:
+    """Drop-in equivalent of the reference Sort class."""
+
+    def __init__(self, max_age: int = 1, min_hits: int = 3,
+                 iou_threshold: float = 0.3):
+        self.max_age = max_age
+        self.min_hits = min_hits
+        self.iou_threshold = iou_threshold
+        self.frame_count = 0
+        self._next_id = 1
+        # stacked per-track state (all arrays share row order)
+        self.x = np.zeros((0, kalman.DIM_X), np.float32)
+        self.P = np.zeros((0, kalman.DIM_X, kalman.DIM_X), np.float32)
+        self.ids = np.zeros((0,), np.int64)
+        self.scores = np.zeros((0,), np.float32)
+        self.hits = np.zeros((0,), np.int32)
+        self.hit_streak = np.zeros((0,), np.int32)
+        self.time_since_update = np.zeros((0,), np.int32)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _keep(self, keep: np.ndarray):
+        for name in ("x", "P", "ids", "scores", "hits", "hit_streak",
+                     "time_since_update"):
+            setattr(self, name, getattr(self, name)[keep])
+
+    def update(self, dets: np.ndarray = None) -> np.ndarray:
+        """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] (may be empty;
+        must be called every frame).  Returns (M, 6) rows
+        [x1,y1,x2,y2,score,id] for confirmed tracks — or, on empty-detection
+        frames with no confirmed tracks, the coasted predictions of every
+        live track (reference sort.py:259-265)."""
+        if dets is None:
+            dets = np.empty((0, 5), np.float32)
+        dets = np.asarray(dets, np.float32).reshape(-1, 5)
+        self.frame_count += 1
+        empty_dets = len(dets) == 0
+
+        # 1. batched predict for all live tracks
+        if len(self):
+            self.x, self.P = kalman.predict(self.x, self.P)
+            self.hit_streak = np.where(self.time_since_update > 0, 0,
+                                       self.hit_streak)
+            self.time_since_update += 1
+            trk_boxes = kalman.x_to_bbox(self.x)
+            finite = np.isfinite(trk_boxes).all(axis=1)
+            if not finite.all():
+                self._keep(finite)
+                trk_boxes = trk_boxes[finite]
+        else:
+            trk_boxes = np.zeros((0, 4), np.float32)
+
+        # 2. associate
+        matched, unmatched_dets, _ = associate(dets, trk_boxes,
+                                               self.iou_threshold)
+
+        # 3. batched update of matched tracks
+        if len(matched):
+            di, ti = matched[:, 0], matched[:, 1]
+            z = kalman.bbox_to_z(dets[di, :4])
+            xs, Ps = kalman.update(self.x[ti], self.P[ti], z)
+            self.x[ti] = xs
+            self.P[ti] = Ps
+            self.scores[ti] = dets[di, 4]
+            self.hits[ti] += 1
+            self.hit_streak[ti] += 1
+            self.time_since_update[ti] = 0
+
+        # 4. new tracks for unmatched detections
+        for i in unmatched_dets:
+            z = kalman.bbox_to_z(dets[i, :4])
+            x0, P0 = kalman.init_state(z[None])
+            self.x = np.concatenate([self.x, x0])
+            self.P = np.concatenate([self.P, P0])
+            self.ids = np.concatenate([self.ids, [self._next_id]])
+            self.scores = np.concatenate([self.scores, [dets[i, 4]]])
+            self.hits = np.concatenate([self.hits, [0]])
+            self.hit_streak = np.concatenate([self.hit_streak, [0]])
+            self.time_since_update = np.concatenate(
+                [self.time_since_update, [0]])
+            self._next_id += 1
+
+        # 5. emit confirmed tracks; retire stale ones
+        boxes = kalman.x_to_bbox(self.x) if len(self) else \
+            np.zeros((0, 4), np.float32)
+        confirmed = (self.time_since_update < 1) & (
+            (self.hit_streak >= self.min_hits)
+            | (self.frame_count <= self.min_hits))
+        rows = np.concatenate(
+            [boxes, self.scores[:, None],
+             self.ids[:, None].astype(np.float32)], axis=1)
+        ret = rows[confirmed]
+        coasted = rows if empty_dets else None
+
+        self._keep(self.time_since_update <= self.max_age)
+
+        if len(ret):
+            return ret
+        if empty_dets and coasted is not None and len(coasted):
+            return coasted
+        return np.empty((0, 6), np.float32)
