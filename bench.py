@@ -1,0 +1,89 @@
+"""Headline benchmark: ViT-B 256x192 pose crops/sec/chip, end-to-end.
+
+Measures the fused pose step (on-device crop sampling from a 1080p frame +
+ViT-B forward + deconv head + UDP decode + un-crop) in bf16 with a full
+64-person slot batch — the serving configuration.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
+
+Baseline: BASELINE.json north star = 500 crops/sec/chip (TPU v5e).
+Usage: python bench.py [--slots 64] [--frames 30] [--size b] [--fp32]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=64,
+                    help="person crops per frame step")
+    ap.add_argument("--frames", type=int, default=30,
+                    help="timed frame steps")
+    ap.add_argument("--size", default="b", choices=["s", "b", "l", "h"])
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import (cast_params,
+                                                 init_vitpose_params)
+    from easy_vitpose_tpu.pipeline.pose_step import pose_step_jit
+
+    cfg = get_model_config("coco", args.size)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    if dtype == jnp.bfloat16:
+        params = cast_params(params, dtype)
+
+    H, W, M = args.height, args.width, args.slots
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.integers(0, 255, (H, W, 3), np.uint8))
+              for _ in range(4)]
+    boxes = jnp.asarray(np.stack([
+        rng.uniform(0, W - 400, M), rng.uniform(0, H - 600, M),
+        rng.uniform(400, W, M), rng.uniform(600, H, M)], -1)
+        .astype(np.float32))
+    mask = jnp.ones((M,), bool)
+
+    def step(f, b):
+        return pose_step_jit(params, f, b, mask, cfg,
+                             compute_dtype=dtype)
+
+    def chain(n):
+        """Run n dependent steps: each step's keypoints feed (with zero
+        weight) into the next step's boxes, so fetching the final result
+        forces the whole chain to execute.  Necessary because
+        block_until_ready can return early through the axon tunnel."""
+        b = boxes
+        out = None
+        for i in range(n):
+            out = step(frames[i % len(frames)], b)
+            b = boxes + 0.0 * jnp.sum(out) * jnp.ones_like(boxes)
+        return float(jnp.sum(out))  # host fetch = hard sync
+
+    chain(2)  # warmup / compile (both program shapes)
+
+    t0 = time.perf_counter()
+    chain(args.frames)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = args.frames * M / dt
+    result = {
+        "metric": f"vitpose-{args.size} 256x192 e2e pose crops/sec/chip "
+                  f"(fused crop+forward+decode, {'fp32' if args.fp32 else 'bf16'}, "
+                  f"{M} crops/frame, {W}x{H} frame)",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec / 500.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

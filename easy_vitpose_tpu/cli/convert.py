@@ -1,0 +1,48 @@
+"""Checkpoint conversion CLI (replaces the reference's export.py front half +
+model download story): torch .pth -> native .npz, ultralytics .pt -> .npz.
+
+Usage:
+  python -m easy_vitpose_tpu.cli.convert vitpose --ckpt vitpose-b-coco.pth \
+      --model-name b --out vitpose-b-coco.npz
+  python -m easy_vitpose_tpu.cli.convert yolo --ckpt yolov8n.pt --out yolov8n.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..configs import get_model_config, infer_dataset_by_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("vitpose")
+    pv.add_argument("--ckpt", required=True)
+    pv.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
+    pv.add_argument("--dataset", default=None)
+    pv.add_argument("--out", required=True)
+
+    py = sub.add_parser("yolo")
+    py.add_argument("--ckpt", required=True)
+    py.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    if args.cmd == "vitpose":
+        from ..convert.vitpose_torch import load_torch_checkpoint
+        from ..utils.checkpoint import save_params
+        dataset = args.dataset or infer_dataset_by_path(args.ckpt)
+        cfg = get_model_config(dataset, args.model_name)
+        params = load_torch_checkpoint(args.ckpt, cfg)
+        save_params(args.out, params)
+        print(f"wrote {args.out} ({dataset}, {args.model_name})")
+    else:
+        from ..convert.yolo_torch import (load_ultralytics_checkpoint,
+                                          save_yolo_npz)
+        params, scale, nc = load_ultralytics_checkpoint(args.ckpt)
+        save_yolo_npz(args.out, params, scale, nc)
+        print(f"wrote {args.out} (yolov8{scale}, nc={nc})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Inference CLI — feature parity with the reference driver
+(reference inference.py:19-209): image / video / webcam / directory-of-videos
+input, FPS stats, annotated image/video output, JSON keypoint dumps.
+
+Usage:
+  python -m easy_vitpose_tpu.cli.infer --input video.mp4 --model ckpt.npz \
+      --model-name b [--yolo yolov8n.npz] [--output-path out/] [--save-json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from glob import glob
+
+import numpy as np
+
+from ..pipeline.inference import VitInference
+from ..skeletons import joints_dict
+from ..utils.io import NumpyEncoder, VideoReader, video_metadata
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native ViTPose inference")
+    p.add_argument("--input", required=True,
+                   help="image / video path, webcam index, or directory")
+    p.add_argument("--output-path", default="",
+                   help="output dir (annotated media + json)")
+    p.add_argument("--model", required=True, help=".npz or .pth checkpoint")
+    p.add_argument("--model-name", default=None, choices=["s", "b", "l", "h"])
+    p.add_argument("--yolo", default=None, help="YOLOv8 .npz/.pt checkpoint")
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--det-class", default=None)
+    p.add_argument("--yolo-size", type=int, default=320)
+    p.add_argument("--yolo-step", type=int, default=1)
+    p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--single-pose", action="store_true")
+    p.add_argument("--show", action="store_true")
+    p.add_argument("--show-yolo", action="store_true")
+    p.add_argument("--show-raw-yolo", action="store_true")
+    p.add_argument("--save-img", action="store_true")
+    p.add_argument("--save-json", action="store_true")
+    p.add_argument("--conf-threshold", type=float, default=0.5)
+    return p
+
+
+VIDEO_EXTS = (".mp4", ".mov", ".avi", ".mkv", ".webm")
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def run_one(args, input_path: str) -> None:
+    ext = os.path.splitext(str(input_path))[1].lower()
+    is_video = ext in VIDEO_EXTS or str(input_path).isdigit()
+
+    model = VitInference(args.model, yolo=args.yolo,
+                         model_name=args.model_name,
+                         det_class=args.det_class, dataset=args.dataset,
+                         yolo_size=args.yolo_size, is_video=is_video,
+                         single_pose=args.single_pose,
+                         yolo_step=args.yolo_step, dtype=args.dtype)
+    print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
+          f"dtype={args.dtype})")
+
+    out_writer = None
+    keypoints_log = []
+    fps_hist = []
+
+    if is_video:
+        frames = VideoReader(input_path, rotate=args.rotate)
+        meta = (video_metadata(input_path)
+                if not str(input_path).isdigit() else {"fps": 30})
+    else:
+        img = cv2.imread(str(input_path))
+        assert img is not None, f"cannot read {input_path}"
+        frames = [cv2.cvtColor(img, cv2.COLOR_BGR2RGB)]
+        meta = {"fps": 1}
+
+    save_media = (args.save_img or args.show) or bool(args.output_path)
+    base = os.path.splitext(os.path.basename(str(input_path)))[0]
+
+    for i, frame in enumerate(frames):
+        t0 = time.perf_counter()
+        kpts = model.inference(frame)
+        dt = time.perf_counter() - t0
+        fps_hist.append(1.0 / max(dt, 1e-9))
+        if args.save_json:
+            keypoints_log.append({str(k): v for k, v in kpts.items()})
+        if save_media:
+            drawn = model.draw(show_yolo=args.show_yolo,
+                               show_raw_yolo=args.show_raw_yolo,
+                               confidence_threshold=args.conf_threshold)
+            bgr = drawn[..., ::-1]
+            if args.show:
+                cv2.imshow("easy_vitpose_tpu", bgr)
+                cv2.waitKey(1)
+            if args.output_path:
+                os.makedirs(args.output_path, exist_ok=True)
+                if is_video:
+                    if out_writer is None:
+                        h, w = bgr.shape[:2]
+                        out_writer = cv2.VideoWriter(
+                            os.path.join(args.output_path, base + "_out.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"),
+                            meta.get("fps", 30) or 30, (w, h))
+                    out_writer.write(bgr)
+                elif args.save_img:
+                    cv2.imwrite(os.path.join(args.output_path,
+                                             base + "_out.png"), bgr)
+
+    if out_writer is not None:
+        out_writer.release()
+    if args.save_json and args.output_path:
+        os.makedirs(args.output_path, exist_ok=True)
+        out_json = os.path.join(args.output_path, base + "_keypoints.json")
+        with open(out_json, "w") as f:
+            json.dump({"keypoints": keypoints_log,
+                       "skeleton": joints_dict()[model.dataset]["keypoints"]},
+                      f, cls=NumpyEncoder)
+        print(f">>> keypoints saved to {out_json}")
+    if fps_hist:
+        # skip warmup frames in the mean (compilation)
+        steady = fps_hist[3:] or fps_hist
+        print(f">>> frames: {len(fps_hist)}  mean FPS (steady): "
+              f"{np.mean(steady):.1f}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if os.path.isdir(args.input):
+        inputs = sorted(sum((glob(os.path.join(args.input, "*" + e))
+                             for e in VIDEO_EXTS + IMAGE_EXTS), []))
+        assert inputs, f"no media found in {args.input}"
+        for p in inputs:
+            run_one(args, p)
+    else:
+        run_one(args, args.input)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,8 +83,7 @@ def conv_bn_silu(x: jnp.ndarray, p: Dict[str, Any], stride: int = 1,
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y + p["b"]
     y = y.astype(x.dtype)
     return jax.nn.silu(y) if act else y

@@ -43,16 +43,14 @@ def conv_transpose_s2(x: jnp.ndarray, w: jnp.ndarray, kernel: int) -> jnp.ndarra
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            padding: str = "SAME") -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b is not None:
         y = y + b
     return y.astype(x.dtype)

@@ -161,10 +161,27 @@ class VitInference:
                 res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD]
         self.frame_counter += 1
 
+        # drop degenerate/non-finite boxes (a well-formed detector never emits
+        # them, but the Kalman sqrt would NaN on x2<=x1)
+        if len(res_pd):
+            ok = (np.isfinite(res_pd[:, :4]).all(1)
+                  & (res_pd[:, 2] > res_pd[:, 0])
+                  & (res_pd[:, 3] > res_pd[:, 1]))
+            res_pd = res_pd[ok]
+
         ids = None
         if self.tracker is not None:
             res_pd = self.tracker.update(res_pd)
+            keep = np.isfinite(res_pd[:, :4]).all(1)
+            res_pd = res_pd[keep]
             ids = res_pd[:, 5].astype(int).tolist()
+
+        # cap at max_people, keeping the highest-scored boxes
+        if len(res_pd) > self.max_people:
+            order = np.argsort(-res_pd[:, 4], kind="stable")[:self.max_people]
+            res_pd = res_pd[order]
+            if ids is not None:
+                ids = [ids[i] for i in order]
 
         bboxes_i = res_pd[:, :4].round().astype(int)
         scores = res_pd[:, 4].tolist()

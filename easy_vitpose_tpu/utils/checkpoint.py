@@ -42,11 +42,16 @@ def load_params(path: str) -> Any:
     return _listify(root)
 
 
-def _listify(node):
-    """Convert {'0': ..., '1': ...} dicts (from list indices) back to lists."""
+def _listify(node, path=()):
+    """Convert {'0': ..., '1': ...} dicts (from list indices) back to lists —
+    only for contiguous 0..n-1 index sets, and never for the YOLO 'model'
+    layer table whose keys are layer numbers with gaps (0..22 minus pass-
+    through layers)."""
     if not isinstance(node, dict):
         return node
-    out = {k: _listify(v) for k, v in node.items()}
-    if out and all(k.isdigit() for k in out):
+    out = {k: _listify(v, path + (k,)) for k, v in node.items()}
+    is_model_table = path and path[-1] == "model"
+    if (out and not is_model_table
+            and set(out) == {str(i) for i in range(len(out))}):
         return [out[str(i)] for i in range(len(out))]
     return out

@@ -1,0 +1,116 @@
+"""End-to-end VitInference API tests: the five-call public surface
+(reference README.md:126-153 usage) wired through converted tiny weights and
+a random-weight YOLO, on CPU devices.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu import VitInference
+from easy_vitpose_tpu.convert.vitpose_torch import convert_vitpose_state_dict
+from easy_vitpose_tpu.utils.checkpoint import save_params, load_params
+from tests.test_model_parity import CASES, load_case
+
+
+@pytest.fixture(scope="module")
+def ckpt_npz(tmp_path_factory):
+    """Tiny converted params saved in the native npz format.
+
+    The tiny fixture has 17 keypoints = the coco skeleton, so dataset
+    inference from the filename works end to end.
+    """
+    sd, _, _ = load_case("tiny")
+    params = convert_vitpose_state_dict(sd, CASES["tiny"])
+    path = tmp_path_factory.mktemp("ck") / "vitpose-s-coco.npz"
+    save_params(str(path), params)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def yolo_npz(tmp_path_factory):
+    from easy_vitpose_tpu.detect.yolo import YoloSpec, init_yolo_params
+    from easy_vitpose_tpu.convert.yolo_torch import save_yolo_npz
+    params = init_yolo_params(jax.random.PRNGKey(0), YoloSpec("n"))
+    path = tmp_path_factory.mktemp("yl") / "yolov8n.npz"
+    save_yolo_npz(str(path), params, "n", 80)
+    return str(path)
+
+
+def _frame(h=240, w=320):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    f = np.stack([np.sin(xx / 13), np.cos(yy / 17), np.sin((xx + yy) / 23)], -1)
+    return ((f - f.min()) / (np.ptp(f) + 1e-9) * 255).astype(np.uint8)
+
+
+def test_npz_roundtrip_equals_pth_convert(ckpt_npz):
+    sd, _, _ = load_case("tiny")
+    ref = convert_vitpose_state_dict(sd, CASES["tiny"])
+    got = load_params(ckpt_npz)
+    ref_l = jax.tree_util.tree_leaves(ref)
+    got_l = jax.tree_util.tree_leaves(got)
+    assert len(ref_l) == len(got_l)
+    for a, b in zip(ref_l, got_l):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_precomputed_bboxes_flow(ckpt_npz):
+    """BASELINE config 1: single image, precomputed bboxes, no detector.
+
+    model_name='s' selects the ViT-S config; the tiny weights do not match it,
+    so we build via dataset/model_name but patch cfg+params — instead use the
+    public ctor with the tiny config injected.
+    """
+    m = VitInference(ckpt_npz, yolo=None, model_name="s", dataset="coco",
+                     is_video=False)
+    # swap in the tiny config (ctor built 's'; weights are tiny) — the public
+    # API supports custom configs via this documented attribute.
+    m.cfg = CASES["tiny"]
+    img = _frame()
+    boxes = np.array([[40, 30, 160, 200, 0.9],
+                      [150, 60, 300, 230, 0.8]], np.float32)
+    out = m.inference(img, bboxes=boxes)
+    assert set(out) == {0, 1}
+    for k in out.values():
+        assert k.shape == (17, 3)
+        assert np.isfinite(k).all()
+        ys, xs = k[:, 0], k[:, 1]
+        # random-weight heatmaps are flat -> a few keypoints take wild Newton
+        # steps (the reference decode does the same); most must stay in-frame
+        inside = ((ys > -30) & (ys < 280) & (xs > -30) & (xs < 360)).mean()
+        assert inside >= 0.7
+    # draw() must work and preserve shape
+    rendered = m.draw(show_yolo=True, confidence_threshold=-1.0)
+    assert rendered.shape == img.shape
+
+
+def test_video_tracking_flow(ckpt_npz, yolo_npz):
+    """Video mode with detector + tracker, yolo_step=2 (coasting frames)."""
+    m = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s", dataset="coco",
+                     is_video=True, yolo_step=2)
+    m.cfg = CASES["tiny"]
+    m._detector.conf = -1.0  # random-weight YOLO: accept anything it emits
+    img = _frame()
+    for _ in range(4):
+        out = m.inference(img)
+        assert isinstance(out, dict)
+    m.reset()
+    assert m.frame_counter == 0
+
+
+def test_postprocess_classmethod():
+    hm = np.zeros((1, 17, 64, 48), np.float32)
+    hm[:, :, 30, 20] = 1.0
+    out = VitInference.postprocess(hm, org_w=96, org_h=128)
+    assert out.shape == (1, 17, 3)
+    # peak at heatmap (20, 30) -> image approx (x=20/47*96-..., sanity range)
+    assert 30 < out[0, 0, 1] < 60   # x
+    assert 50 < out[0, 0, 0] < 70   # y
+
+
+def test_dataset_filename_inference(ckpt_npz):
+    from easy_vitpose_tpu.configs import infer_dataset_by_path
+    assert infer_dataset_by_path("vitpose-b-coco_25.pth") == "coco_25"
+    assert infer_dataset_by_path("/x/y/vitpose-s-ap10k.onnx") == "ap10k"
+    assert infer_dataset_by_path(ckpt_npz) == "coco"
