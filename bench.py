@@ -51,26 +51,31 @@ def main():
         .astype(np.float32))
     mask = jnp.ones((M,), bool)
 
-    def step(f, b):
-        return pose_step_jit(params, f, b, mask, cfg,
-                             compute_dtype=dtype)
+    from easy_vitpose_tpu.pipeline.pose_step import pose_step
+    frames_stacked = jnp.stack(frames)  # (4, H, W, 3)
 
-    def chain(n):
-        """Run n dependent steps: each step's keypoints feed (with zero
-        weight) into the next step's boxes, so fetching the final result
-        forces the whole chain to execute.  Necessary because
-        block_until_ready can return early through the axon tunnel."""
-        b = boxes
-        out = None
-        for i in range(n):
-            out = step(frames[i % len(frames)], b)
-            b = boxes + 0.0 * jnp.sum(out) * jnp.ones_like(boxes)
-        return float(jnp.sum(out))  # host fetch = hard sync
+    import functools
 
-    chain(2)  # warmup / compile (both program shapes)
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run_frames(n_steps, b0):
+        """n dependent frame steps fully on device (lax.scan): each step's
+        keypoints feed (with zero weight) into the next step's boxes, so the
+        single final fetch forces the whole chain — block_until_ready can
+        return early through the axon tunnel, and per-step fetches would pay
+        ~27 ms of RTT each."""
+        def body(b, i):
+            f = jax.lax.dynamic_index_in_dim(
+                frames_stacked, i % frames_stacked.shape[0], keepdims=False)
+            out = pose_step(params, f, b, mask, cfg, compute_dtype=dtype)
+            return boxes + 0.0 * jnp.sum(out), jnp.float32(0)
+        b, _ = jax.lax.scan(body, b0, jnp.arange(n_steps))
+        return jnp.sum(b)
+
+    n = args.frames
+    float(run_frames(n, boxes))  # compile + warmup
 
     t0 = time.perf_counter()
-    chain(args.frames)
+    float(run_frames(n, boxes))
     dt = time.perf_counter() - t0
 
     crops_per_sec = args.frames * M / dt

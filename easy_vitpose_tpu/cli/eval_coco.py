@@ -1,0 +1,101 @@
+"""COCO val evaluation CLI (reference evaluation_on_coco.py:31-91 workflow):
+run VitInference over val images, write results.json, score with the
+built-in OKS AP evaluator (pycocotools-free).
+
+Usage:
+  python -m easy_vitpose_tpu.cli.eval_coco --ann ann.json --imgdir val2017 \
+      --model vitpose-b-coco.npz --model-name b --yolo yolov8n.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..eval.cocoeval import CocoKeypointEval
+from ..pipeline.inference import VitInference
+from ..utils.io import NumpyEncoder
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann", required=True, help="COCO keypoint ann json")
+    p.add_argument("--imgdir", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
+    p.add_argument("--dataset", default="coco")
+    p.add_argument("--yolo", default=None)
+    p.add_argument("--yolo-size", type=int, default=640)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--out", default="results.json")
+    p.add_argument("--limit", type=int, default=0, help="max images (debug)")
+    p.add_argument("--use-gt-bbox", action="store_true",
+                   help="evaluate with ground-truth boxes (no detector)")
+    args = p.parse_args(argv)
+
+    with open(args.ann) as f:
+        gt = json.load(f)
+    images = {im["id"]: im for im in gt["images"]}
+    img_ids = sorted({a["image_id"] for a in gt["annotations"]
+                      if a.get("num_keypoints", 0) > 0})
+    if args.limit:
+        img_ids = img_ids[:args.limit]
+
+    gt_boxes = {}
+    if args.use_gt_bbox:
+        for a in gt["annotations"]:
+            if a.get("num_keypoints", 0) == 0 or a.get("iscrowd", 0):
+                continue
+            x, y, w, h = a["bbox"]
+            gt_boxes.setdefault(a["image_id"], []).append(
+                [x, y, x + w, y + h, 1.0])
+
+    model = VitInference(args.model, yolo=args.yolo,
+                         model_name=args.model_name, dataset=args.dataset,
+                         yolo_size=args.yolo_size, is_video=False,
+                         dtype=args.dtype)
+
+    results = []
+    t0 = time.perf_counter()
+    for n, img_id in enumerate(img_ids):
+        path = os.path.join(args.imgdir, images[img_id]["file_name"])
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        bboxes = (np.asarray(gt_boxes.get(img_id, []), np.float32)
+                  if args.use_gt_bbox else None)
+        if bboxes is not None and len(bboxes) == 0:
+            continue
+        kpts = model.inference(img, bboxes=bboxes)
+        for pid, k in kpts.items():
+            # k rows are (y, x, score); COCO wants flat [x, y, v] * K
+            flat = np.stack([k[:, 1], k[:, 0],
+                             np.zeros_like(k[:, 0])], -1).ravel()
+            results.append({
+                "image_id": int(img_id), "category_id": 1,
+                "keypoints": [round(float(v), 2) for v in flat],
+                "score": float(model._scores_bbox.get(pid, float(k[:, 2].mean()))),
+            })
+        if (n + 1) % 100 == 0:
+            rate = (n + 1) / (time.perf_counter() - t0)
+            print(f"  {n + 1}/{len(img_ids)} images ({rate:.1f} img/s)")
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, cls=NumpyEncoder)
+    print(f"wrote {args.out} ({len(results)} detections)")
+
+    stats = CocoKeypointEval(gt, results).summarize()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

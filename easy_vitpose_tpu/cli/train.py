@@ -1,0 +1,107 @@
+"""Finetuning CLI (reference easy_ViTPose/train.py:31-171 workflow):
+session work dirs runs/train/NNN, seeds, yaml config merge, partial ckpt
+resume (drops the head final layer on shape mismatch), optional backbone
+freeze, then the epoch loop.
+
+Usage:
+  python -m easy_vitpose_tpu.cli.train --data-root datasets/COCO \
+      --model-name b --dataset coco [--resume-from ckpt.npz] \
+      [--config config.yaml] [--freeze-backbone]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..configs import get_model_config
+from ..models.vitpose import init_vitpose_params
+from ..skeletons import flip_pairs, num_keypoints
+from ..train.dataset import CocoPoseDataset
+from ..train.loop import TrainSettings, partial_load_for_finetune, train_model
+
+
+def next_session_dir(base: str = "runs/train") -> str:
+    """runs/train/000, 001, ... (reference train.py:59-68)."""
+    os.makedirs(base, exist_ok=True)
+    existing = [int(d) for d in os.listdir(base) if d.isdigit()]
+    n = max(existing) + 1 if existing else 0
+    path = os.path.join(base, f"{n:03d}")
+    os.makedirs(path)
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--train-version", default="train2017")
+    p.add_argument("--val-version", default="val2017")
+    p.add_argument("--train-ann", default=None)
+    p.add_argument("--val-ann", default=None)
+    p.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
+    p.add_argument("--dataset", default="coco")
+    p.add_argument("--config", default=None, help="yaml overrides")
+    p.add_argument("--resume-from", default=None, help=".npz or .pth ckpt")
+    p.add_argument("--freeze-backbone", action="store_true")
+    p.add_argument("--lr", type=float, default=3.75e-4)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=210)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--work-dir", default=None)
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.config:
+        import yaml
+        with open(args.config) as f:
+            overrides = yaml.safe_load(f) or {}
+
+    cfg = get_model_config(args.dataset, args.model_name)
+    work_dir = args.work_dir or next_session_dir()
+    settings = TrainSettings(
+        lr=overrides.get("lr", args.lr),
+        total_epochs=overrides.get("total_epochs", args.epochs),
+        batch_size=overrides.get("batch_size", args.batch_size),
+        use_amp=overrides.get("use_amp", not args.no_amp),
+        save_interval=overrides.get("save_interval", 10),
+        early_stop_patience=overrides.get("early_stop_patience", 15),
+        freeze_backbone=args.freeze_backbone or
+        overrides.get("freeze_backbone", False),
+        seed=overrides.get("seed", args.seed),
+        work_dir=work_dir)
+
+    params = init_vitpose_params(jax.random.PRNGKey(settings.seed), cfg)
+    if args.resume_from:
+        if args.resume_from.endswith(".pth"):
+            from ..convert.vitpose_torch import load_torch_checkpoint
+            loaded = load_torch_checkpoint(args.resume_from, cfg)
+        else:
+            from ..utils.checkpoint import load_params
+            loaded = load_params(args.resume_from)
+        params = partial_load_for_finetune(params, loaded)
+        print(f">>> resumed from {args.resume_from}")
+
+    K = num_keypoints(args.dataset) if args.dataset != "custom" else cfg.num_keypoints
+    fp = [list(pr) for pr in flip_pairs(args.dataset)]
+    ds_kw = dict(num_joints=K, flip_pairs=fp,
+                 heatmap_sigma=overrides.get("heatmap_sigma", 3.0))
+    train_ds = CocoPoseDataset(args.data_root, args.train_version,
+                               is_train=True, ann_file=args.train_ann,
+                               seed=settings.seed, **ds_kw)
+    val_ds = CocoPoseDataset(args.data_root, args.val_version,
+                             is_train=False, ann_file=args.val_ann, **ds_kw)
+    print(f">>> train {len(train_ds)} instances, val {len(val_ds)}; "
+          f"work dir {work_dir}")
+
+    out = train_model(params, cfg, train_ds, val_ds, settings)
+    with open(os.path.join(work_dir, "history.json"), "w") as f:
+        json.dump(out["history"], f, indent=1)
+    print(f">>> done; checkpoints in {work_dir}")
+
+
+if __name__ == "__main__":
+    main()

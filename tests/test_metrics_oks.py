@@ -1,0 +1,69 @@
+"""Golden tests: metrics (PCK/AUC/NME/EPE) + OKS IoU/NMS vs reference oracle
+fixtures (tests/golden/misc_golden.npz, from scripts/make_misc_golden.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu.eval import metrics as M
+from easy_vitpose_tpu.ops import oks as O
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "misc_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDEN)
+
+
+def test_pck(g):
+    acc, avg, cnt = M.keypoint_pck_accuracy(g["pred"], g["gt"], g["mask"],
+                                            0.3, g["normalize"].copy())
+    np.testing.assert_allclose(acc, g["pck_acc"], atol=1e-6)
+    assert abs(avg - g["pck_avg"]) < 1e-6
+    assert cnt == g["pck_cnt"]
+
+
+def test_auc_nme_epe(g):
+    assert abs(M.keypoint_auc(g["pred"], g["gt"], g["mask"], 30.0)
+               - g["auc"]) < 1e-6
+    assert abs(M.keypoint_nme(g["pred"], g["gt"], g["mask"],
+                              g["normalize"].copy()) - g["nme"]) < 1e-5
+    assert abs(M.keypoint_epe(g["pred"], g["gt"], g["mask"])
+               - g["epe"]) < 1e-4
+
+
+def test_pose_pck_from_heatmaps(g):
+    acc, avg, cnt = M.pose_pck_accuracy(g["hm_out"], g["hm_tgt"], g["mask"])
+    np.testing.assert_allclose(acc, g["p_acc"], atol=1e-6)
+    assert abs(avg - g["p_avg"]) < 1e-6
+    assert cnt == g["p_cnt"]
+
+
+def test_oks_iou(g):
+    np.testing.assert_allclose(
+        O.oks_iou(g["oks_g"], g["oks_d"], float(g["oks_ag"]), g["oks_ad"]),
+        g["ious_plain"], atol=1e-6)
+    np.testing.assert_allclose(
+        O.oks_iou(g["oks_g"], g["oks_d"], float(g["oks_ag"]), g["oks_ad"],
+                  vis_thr=0.4),
+        g["ious_vis"], atol=1e-6)
+
+
+def _db(g):
+    return [{"keypoints": kp, "score": float(s), "area": float(a)}
+            for kp, s, a in zip(g["kpts_db_kp"], g["kpts_db_score"],
+                                g["kpts_db_area"])]
+
+
+def test_oks_nms(g):
+    np.testing.assert_array_equal(O.oks_nms(_db(g), 0.5), g["keep_hard"])
+
+
+def test_soft_oks_nms(g):
+    np.testing.assert_array_equal(O.soft_oks_nms(_db(g), 0.5, max_dets=6),
+                                  g["keep_soft"])
+
+
+def test_bbox_nms(g):
+    np.testing.assert_array_equal(O.bbox_nms(g["dets"], 0.4), g["keep_bbox"])
