@@ -6,11 +6,17 @@ ViT-B forward + deconv head + UDP decode + un-crop) in bf16 with a full
   {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
 
 Baseline: BASELINE.json north star = 500 crops/sec/chip (TPU v5e).
-Usage: python bench.py [--slots 64] [--frames 30] [--size b] [--fp32]
+Usage: python bench.py [--slots 64] [--frames 40] [--size b] [--fp32]
+
+Timing method: n dependent frame steps (each step's keypoints feed, with
+zero weight, into the next step's boxes) and a single final scalar fetch.
+This forces the whole chain to execute before the clock stops —
+block_until_ready can return early through the axon tunnel, per-step fetches
+would pay ~27 ms RTT each, and wrapping the chain in lax.scan wedges the
+remote-compile service at this program size.
 """
 import argparse
 import json
-import sys
 import time
 
 import numpy as np
@@ -20,8 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=64,
                     help="person crops per frame step")
-    ap.add_argument("--frames", type=int, default=30,
-                    help="timed frame steps")
+    ap.add_argument("--frames", type=int, default=40, help="timed frame steps")
     ap.add_argument("--size", default="b", choices=["s", "b", "l", "h"])
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--height", type=int, default=1080)
@@ -44,44 +49,33 @@ def main():
     H, W, M = args.height, args.width, args.slots
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.integers(0, 255, (H, W, 3), np.uint8))
-              for _ in range(4)]
+              for _ in range(2)]
     boxes = jnp.asarray(np.stack([
         rng.uniform(0, W - 400, M), rng.uniform(0, H - 600, M),
         rng.uniform(400, W, M), rng.uniform(600, H, M)], -1)
         .astype(np.float32))
     mask = jnp.ones((M,), bool)
 
-    from easy_vitpose_tpu.pipeline.pose_step import pose_step
-    frames_stacked = jnp.stack(frames)  # (4, H, W, 3)
+    def chain(n):
+        b = boxes
+        out = None
+        for i in range(n):
+            out = pose_step_jit(params, frames[i % len(frames)], b, mask,
+                                cfg, compute_dtype=dtype)
+            b = boxes + 0.0 * out[0, 0, 0]
+        return float(out[0, 0, 0])  # single fetch = hard sync
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def run_frames(n_steps, b0):
-        """n dependent frame steps fully on device (lax.scan): each step's
-        keypoints feed (with zero weight) into the next step's boxes, so the
-        single final fetch forces the whole chain — block_until_ready can
-        return early through the axon tunnel, and per-step fetches would pay
-        ~27 ms of RTT each."""
-        def body(b, i):
-            f = jax.lax.dynamic_index_in_dim(
-                frames_stacked, i % frames_stacked.shape[0], keepdims=False)
-            out = pose_step(params, f, b, mask, cfg, compute_dtype=dtype)
-            return boxes + 0.0 * jnp.sum(out), jnp.float32(0)
-        b, _ = jax.lax.scan(body, b0, jnp.arange(n_steps))
-        return jnp.sum(b)
-
-    n = args.frames
-    float(run_frames(n, boxes))  # compile + warmup
+    chain(3)  # compile + warmup
 
     t0 = time.perf_counter()
-    float(run_frames(n, boxes))
+    chain(args.frames)
     dt = time.perf_counter() - t0
 
     crops_per_sec = args.frames * M / dt
     result = {
         "metric": f"vitpose-{args.size} 256x192 e2e pose crops/sec/chip "
-                  f"(fused crop+forward+decode, {'fp32' if args.fp32 else 'bf16'}, "
+                  f"(fused crop+forward+decode, "
+                  f"{'fp32' if args.fp32 else 'bf16'}, "
                   f"{M} crops/frame, {W}x{H} frame)",
         "value": round(crops_per_sec, 2),
         "unit": "crops/sec/chip",

@@ -34,22 +34,32 @@ PAD_BBOX = 10  # reference easy_ViTPose/inference.py:254
 ASPECT_W, ASPECT_H = 3, 4  # crop aspect ratio 3/4
 
 
-def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int]):
+def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
+                  y_bounds=None):
     """Integer crop/pad geometry per box.
 
     Args:
       boxes: (M, 4) float [x1, y1, x2, y2] detector boxes (pre-inflation).
       frame_hw: static (H, W) of the frame.
+      y_bounds: optional (M, 2) int per-box [ymin, ymax) clip range — used by
+        the multi-stream path where several frames are stacked vertically and
+        the +/-10px inflation must not cross a stream boundary.
     Returns:
       dict of (M,) int32 arrays: x1, y1 (inflated, clipped crop origin),
       wc, hc (crop size), wp, hp (padded size), left, top (pad offsets).
     """
     H, W = frame_hw
+    if y_bounds is None:
+        ylo = jnp.zeros(boxes.shape[0], jnp.int32)
+        yhi = jnp.full(boxes.shape[0], H, jnp.int32)
+    else:
+        ylo = y_bounds[:, 0].astype(jnp.int32)
+        yhi = y_bounds[:, 1].astype(jnp.int32)
     b = jnp.rint(boxes).astype(jnp.int32)  # np.round -> banker's rounding
     x1 = jnp.clip(b[:, 0] - PAD_BBOX, 0, W)
-    y1 = jnp.clip(b[:, 1] - PAD_BBOX, 0, H)
+    y1 = jnp.clip(b[:, 1] - PAD_BBOX, ylo, yhi)
     x2 = jnp.clip(b[:, 2] + PAD_BBOX, 0, W)
-    y2 = jnp.clip(b[:, 3] + PAD_BBOX, 0, H)
+    y2 = jnp.clip(b[:, 3] + PAD_BBOX, ylo, yhi)
     wc = jnp.maximum(x2 - x1, 1)
     hc = jnp.maximum(y2 - y1, 1)
     # pad_image(crop, 3/4): pad width if w/h < 3/4 else pad height

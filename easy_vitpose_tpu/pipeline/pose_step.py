@@ -33,8 +33,8 @@ from ..ops.preprocess import crop_geometry, normalize_crops, sample_crops
 
 def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
               mask: jnp.ndarray, cfg: ModelConfig,
-              *, compute_dtype=jnp.float32, modulate_kernel: int = 11
-              ) -> jnp.ndarray:
+              *, compute_dtype=jnp.float32, modulate_kernel: int = 11,
+              y_bounds=None) -> jnp.ndarray:
     """Run pose estimation for up to M people on one frame.
 
     Args:
@@ -49,7 +49,7 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
       (M, K, 3) float32 keypoints as (y, x, score) in frame coordinates;
       masked slots are all-zero.
     """
-    geo = crop_geometry(boxes, frame.shape[:2])
+    geo = crop_geometry(boxes, frame.shape[:2], y_bounds=y_bounds)
     crops = sample_crops(frame, geo, IMAGE_SIZE)
     x = normalize_crops(crops, dtype=compute_dtype)
     heatmaps = vitpose_forward(params, x, cfg).astype(jnp.float32)

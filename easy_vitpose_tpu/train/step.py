@@ -47,6 +47,73 @@ def make_optimizer(learning_rate: float, max_grad_norm: float = 1.0,
     return tx
 
 
+def layerwise_lr_decay(layer_decay_rate: float, depth: int
+                       ) -> optax.GradientTransformation:
+    """Per-layer learning-rate decay for the ViT backbone.
+
+    The reference's AdamW recipes use a LayerDecayOptimizerConstructor with
+    ``layer_decay_rate`` (reference configs/ViTPose_common.py:2-14) and ship a
+    simplistic per-step variant (vit_models/optimizer.py:3-14).  Here: scale
+    each block's update by rate^(depth - layer_index) — embeddings get the
+    deepest decay, the head none — as a composable optax transform.
+    """
+    def scale_for_path(path):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if keys and keys[0] == "head":
+            return 1.0
+        if "blocks" in keys:
+            return None  # per-layer, handled via the stacked leading axis
+        # patch embed / pos embed / final LN: treat as layer 0
+        return layer_decay_rate ** depth
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            s = scale_for_path(path)
+            if s is not None:
+                return u * s
+            # stacked block params: leading axis is depth; layer i gets
+            # rate^(depth - i)
+            scales = layer_decay_rate ** (depth - jnp.arange(1, depth + 1,
+                                                             dtype=jnp.float32))
+            shape = (depth,) + (1,) * (u.ndim - 1)
+            return u * scales.reshape(shape).astype(u.dtype)
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
+def make_adamw_layer_decay_optimizer(learning_rate: float = 1e-3,
+                                     weight_decay: float = 0.1,
+                                     layer_decay_rate: float = 0.75,
+                                     depth: int = 12,
+                                     max_grad_norm: float = 1.0
+                                     ) -> optax.GradientTransformation:
+    """The reference's from-scratch AdamW recipe (train_configs/
+    ViTPose_base_coco_256x192.py:7-31): AdamW(lr, wd=0.1) + layer decay +
+    grad clip.  Bias/norm/pos-embed get no weight decay (common.py:7-12)."""
+    def wd_mask(params):
+        def visit(path, x):
+            keys = [str(getattr(p, "key", "")) for p in path]
+            name = keys[-1] if keys else ""
+            no_decay = (name.endswith("_b") or "ln" in name
+                        or name in ("pos_embed", "patch_b")
+                        or name in ("bias", "scale"))
+            return not no_decay
+        return jax.tree_util.tree_map_with_path(visit, params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, b1=0.9, b2=0.999,
+            weight_decay=weight_decay, mask=wd_mask),
+        layerwise_lr_decay(layer_decay_rate, depth),
+    )
+
+
 def set_learning_rate(opt_state, lr: float):
     """Host-side LR override — the ReduceLROnPlateau controller
     (train_valid_fn.py:79, :166) lives in the epoch loop and injects here."""

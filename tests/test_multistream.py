@@ -1,0 +1,66 @@
+"""Multi-stream serving tests: the batched tall-frame path must produce the
+same keypoints as running each stream's frame through the single-frame fused
+step independently."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu.convert.vitpose_torch import convert_vitpose_state_dict
+from easy_vitpose_tpu.pipeline.pose_step import pose_step_jit
+from easy_vitpose_tpu.pipeline.stream import MultiStreamPose, _pose_multi_frame
+from tests.test_model_parity import CASES, load_case
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    sd, _, _ = load_case("tiny")
+    return convert_vitpose_state_dict(sd, CASES["tiny"])
+
+
+def _frame(seed, h=192, w=256):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    f = np.stack([np.sin(xx / (11 + seed)), np.cos(yy / (13 + seed)),
+                  np.sin((xx + yy) / (17 + seed))], -1)
+    return ((f - f.min()) / (np.ptp(f) + 1e-9) * 255).astype(np.uint8)
+
+
+def test_multiframe_matches_per_frame(tiny_params):
+    cfg = CASES["tiny"]
+    frames = np.stack([_frame(0), _frame(3)])
+    boxes = np.array([[30, 20, 120, 170],     # stream 0
+                      [100, 10, 240, 180],    # stream 1
+                      [5, 5, 80, 150]],       # stream 1, edge-touching
+                     np.float32)
+    fidx = np.array([0, 1, 1], np.int32)
+    mask = np.array([True, True, True])
+
+    batched = np.asarray(_pose_multi_frame(
+        tiny_params, jnp.asarray(frames), jnp.asarray(boxes),
+        jnp.asarray(fidx), jnp.asarray(mask), cfg,
+        compute_dtype=jnp.float32))
+
+    for i in range(3):
+        single = np.asarray(pose_step_jit(
+            tiny_params, jnp.asarray(frames[fidx[i]]),
+            jnp.asarray(boxes[i][None]), jnp.asarray(np.array([True])), cfg))
+        np.testing.assert_allclose(batched[i], single[0], atol=1e-3)
+
+
+def test_multistream_class_end_to_end(tiny_params):
+    cfg = CASES["tiny"]
+    ms = MultiStreamPose(tiny_params, cfg, detector=None, n_streams=2,
+                         yolo_step=1, compute_dtype=jnp.float32)
+    frames = [_frame(0), _frame(5)]
+    boxes = [np.array([[30, 20, 120, 170, 0.9]], np.float32),
+             np.array([[100, 10, 240, 180, 0.8]], np.float32)]
+    for _ in range(3):
+        res = ms.step(frames, [b.copy() for b in boxes])
+    assert len(res) == 2
+    assert len(res[0]) == 1 and len(res[1]) == 1
+    for stream_res in res:
+        for k in stream_res.values():
+            assert k.shape == (17, 3)
+            assert np.isfinite(k).all()
+    # track ids are per-stream stable
+    assert list(res[0]) == [1] and list(res[1]) == [1]
