@@ -161,6 +161,36 @@ def keypoints_from_heatmaps_udp(heatmaps: jnp.ndarray, center: jnp.ndarray,
     return preds, maxvals
 
 
+def get_max_preds_3d(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Argmax decode for 3D score maps (reference top_down_eval.py:117-152).
+
+    (N, K, D, H, W) -> preds (N, K, 3) as (x, y, z), maxvals (N, K, 1).
+    """
+    N, K, D, H, W = heatmaps.shape
+    flat = heatmaps.reshape(N, K, D * H * W)
+    idx = jnp.argmax(flat, axis=2)
+    maxvals = jnp.max(flat, axis=2)[..., None]
+    z = (idx // (H * W)).astype(jnp.float32)
+    y = ((idx // W) % H).astype(jnp.float32)
+    x = (idx % W).astype(jnp.float32)
+    preds = jnp.stack([x, y, z], axis=-1)
+    return jnp.where(maxvals > 0.0, preds, -1.0), maxvals
+
+
+def keypoints_from_regression(regression_preds: jnp.ndarray,
+                              center: jnp.ndarray, scale: jnp.ndarray,
+                              img_size: Tuple[int, int]
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized regression output -> image coords
+    (reference top_down_eval.py:460-490): coords are in [0,1] x img_size,
+    then transformed like heatmap preds (non-UDP scaling)."""
+    N, K, _ = regression_preds.shape
+    preds = regression_preds * jnp.asarray(img_size, jnp.float32)
+    maxvals = jnp.ones((N, K, 1), jnp.float32)
+    preds = transform_preds(preds, center, scale, img_size, use_udp=False)
+    return preds, maxvals
+
+
 def default_shift_decode(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The non-UDP 'default' post-process: +/-0.25 toward the gradient
     (reference top_down_eval.py:617-629), vectorized."""

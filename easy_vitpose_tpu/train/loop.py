@@ -42,6 +42,8 @@ class TrainSettings:
     freeze_backbone: bool = False
     seed: int = 0
     work_dir: str = "runs/train/exp"
+    save_full_state: bool = False     # orbax train-state dirs for exact resume
+    resume_state_dir: str = ""        # restore a full train state
 
 
 class PlateauScheduler:
@@ -94,6 +96,12 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     tx = steplib.make_optimizer(settings.lr,
                                 freeze_backbone=settings.freeze_backbone)
     state = steplib.init_train_state(params, tx)
+    start_epoch = 0
+    if settings.resume_state_dir:
+        from .orbax_ckpt import restore_train_state
+        state = restore_train_state(settings.resume_state_dir, template=state)
+        log(f"resumed full train state from {settings.resume_state_dir} "
+            f"(step {int(state['step'])})")
     state = meshlib.replicate(mesh, state)
     train_step = steplib.jit_data_parallel(
         steplib.make_train_step(cfg, tx, use_amp=settings.use_amp), mesh)
@@ -159,6 +167,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 (epoch + 1) % settings.save_interval == 0:
             save_params(os.path.join(settings.work_dir,
                                      f"epoch{epoch:03d}.npz"), serving)
+            if settings.save_full_state:
+                from .orbax_ckpt import save_train_state
+                save_train_state(os.path.join(settings.work_dir,
+                                              "train_state"), state)
         if epoch > settings.ckpt_topk_epoch:
             if val_loss < best_val:
                 best_val = val_loss

@@ -106,3 +106,46 @@ def video_metadata(path) -> dict:
     }
     cap.release()
     return meta
+
+
+def check_video_rotation(path) -> int:
+    """Probe container rotation metadata (reference visualization.py:560-582
+    uses ffmpeg-python; here ffprobe via subprocess, gated)."""
+    import json as _json
+    import shutil
+    import subprocess
+    if shutil.which("ffprobe") is None:
+        return 0
+    try:
+        out = subprocess.run(
+            ["ffprobe", "-v", "quiet", "-print_format", "json",
+             "-show_streams", str(path)],
+            capture_output=True, timeout=30).stdout
+        meta = _json.loads(out or b"{}")
+        for stream in meta.get("streams", []):
+            rot = stream.get("tags", {}).get("rotate")
+            if rot is not None:
+                return {90: 270, 180: 180, 270: 90}.get(int(rot) % 360, 0)
+            for sd in stream.get("side_data_list", []) or []:
+                if "rotation" in sd:
+                    return {-90: 90, 90: 270, 180: 180,
+                            -180: 180}.get(int(sd["rotation"]), 0)
+    except Exception:
+        pass
+    return 0
+
+
+def save_image_grid(path: str, images, cols: int = 4, pad: int = 2) -> None:
+    """Tile a batch of HWC uint8 images into one PNG (the reference's
+    TensorBoard grid role, visualization.py:484-557, without TB)."""
+    import math
+    images = [np.asarray(im) for im in images]
+    h, w = images[0].shape[:2]
+    rows = math.ceil(len(images) / cols)
+    grid = np.zeros((rows * (h + pad) - pad, cols * (w + pad) - pad, 3),
+                    np.uint8)
+    for i, im in enumerate(images):
+        r, c = divmod(i, cols)
+        grid[r * (h + pad):r * (h + pad) + h,
+             c * (w + pad):c * (w + pad) + w] = im[..., :3]
+    cv2.imwrite(path, grid[..., ::-1])
