@@ -158,7 +158,9 @@ class VitInference:
                 or self.frame_counter < 3):
             results = self._detector(img)
             if len(results):
-                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD]
+                # detector rows are [x1,y1,x2,y2,conf,cls]; keep first 5
+                # (conf filter at 0.35, reference inference.py:240-241)
+                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
         self.frame_counter += 1
 
         # drop degenerate/non-finite boxes (a well-formed detector never emits
