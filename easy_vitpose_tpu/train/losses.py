@@ -111,6 +111,58 @@ def wing_loss(pred, target, target_weight=None, omega: float = 10.0,
     return jnp.mean(loss) * loss_weight
 
 
+def bce_loss(pred_logits, target, target_weight=None, loss_weight=1.0):
+    """Binary cross-entropy with logits (reference classfication_loss.py:9)."""
+    p = pred_logits.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    loss = jnp.maximum(p, 0) - p * t + jnp.log1p(jnp.exp(-jnp.abs(p)))
+    if target_weight is not None:
+        loss = loss * target_weight
+    return jnp.mean(loss) * loss_weight
+
+
+def ae_heatmap_loss(pred, target, mask=None):
+    """Bottom-up heatmap MSE with optional pixel mask
+    (reference multi_loss_factory.py HeatmapLoss:30-66 semantics)."""
+    d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    if mask is not None:
+        d = d * mask.astype(jnp.float32)[:, None]
+    return jnp.mean(d, axis=(1, 2, 3))
+
+
+def ae_grouping_loss(tags: jnp.ndarray, joint_indices: jnp.ndarray,
+                     joint_valid: jnp.ndarray,
+                     pull_weight: float = 1.0, push_weight: float = 1.0):
+    """Associative-embedding pull/push losses for ONE image
+    (reference multi_loss_factory.py AELoss:69-159 semantics, fixed shapes).
+
+    Args:
+      tags: (HW,) or (HW, T) flattened tag map.
+      joint_indices: (P, K) int flat heatmap index of each gt joint.
+      joint_valid: (P, K) 1/0 validity.
+    Returns (pull, push) scalars.
+    """
+    if tags.ndim == 1:
+        tags = tags[:, None]
+    P, K = joint_indices.shape
+    t = tags[joint_indices.reshape(-1)].reshape(P, K, -1)   # (P, K, T)
+    v = joint_valid.astype(jnp.float32)[..., None]          # (P, K, 1)
+    cnt = jnp.maximum(v.sum(1), 1e-6)                       # (P, 1)
+    mean = (t * v).sum(1) / cnt                             # (P, T)
+    pull_per = ((t - mean[:, None]) ** 2 * v).sum(1) / cnt
+    person_valid = (v.sum(1) > 0).astype(jnp.float32)       # (P, 1)
+    n_person = jnp.maximum(person_valid.sum(), 1.0)
+    pull = (pull_per * person_valid).sum() / n_person
+
+    diff = mean[:, None, :] - mean[None, :, :]              # (P, P, T)
+    pv = person_valid[:, 0]
+    pair_valid = pv[:, None] * pv[None, :] * (1 - jnp.eye(P))
+    push_mat = jnp.exp(-jnp.sum(diff ** 2, -1)) * pair_valid
+    denom = jnp.maximum(n_person * (n_person - 1), 1.0)
+    push = push_mat.sum() / denom * 0.5
+    return pull * pull_weight, push * push_weight
+
+
 def mpjpe_loss(pred, target, target_weight=None, loss_weight=1.0):
     """Mean per-joint position error (reference regression_loss.py MPJPELoss)."""
     d = jnp.linalg.norm(pred - target, axis=-1)
