@@ -234,13 +234,26 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, class_ids: jnp.ndarray,
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
     overlap = iou > iou_threshold  # (k, k), rows sorted by score desc
 
-    def body(i, keep):
-        # suppressed if any higher-scored KEPT row overlaps it
-        sup = jnp.any(overlap[:, i] & keep
-                      & (jnp.arange(k) < i), axis=-1)
-        return keep.at[i].set(keep[i] & ~sup)
+    # Greedy NMS solved as a Jacobi fixpoint instead of a k-step sequential
+    # loop (300 tiny sequential iterations cost ~150 ms on TPU):
+    #   keep[i] = valid[i] & !any_{j<i}(overlap[j,i] & keep[j])
+    # Iterating this in parallel converges to the exact greedy solution in
+    # at most the suppression-chain depth (typically 2-4 rounds).
+    lower = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]  # j < i
+    ov_lower = overlap & lower
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    def cond(state):
+        keep, prev_keep, it = state
+        return jnp.logical_and(jnp.any(keep != prev_keep), it < k)
+
+    def body(state):
+        keep, _, it = state
+        sup = jnp.any(ov_lower & keep[:, None], axis=0)
+        return (valid & ~sup, keep, it + 1)
+
+    init_keep = valid & ~jnp.any(ov_lower & valid[:, None], axis=0)
+    keep, _, _ = jax.lax.while_loop(cond, body,
+                                    (init_keep, valid, jnp.int32(0)))
     # compact: sort kept to the front (stable by score since already sorted)
     order = jnp.argsort(~keep, stable=True)
     sel = order[:max_det]
@@ -315,7 +328,10 @@ def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
     b, s, c, v = nms_fixed(boxes, conf, cls, iou_threshold=iou_t,
                            conf_threshold=conf_t, max_det=max_det)
     b = (b - jnp.asarray([left, top, left, top], jnp.float32)) / r
-    return b, s, c, v
+    # pack into one array: a single host fetch costs one tunnel RTT, four
+    # separate fetches cost four
+    return jnp.concatenate([b, s[:, None], c.astype(jnp.float32)[:, None],
+                            v.astype(jnp.float32)[:, None]], axis=1)
 
 
 def detect_head_channels(spec: YoloSpec) -> Tuple[int, int]:
@@ -424,13 +440,10 @@ class YoloDetector:
         """img: (H, W, 3) RGB uint8 -> (N, 6) [x1,y1,x2,y2,conf,cls] numpy."""
         H, W = img.shape[:2]
         geom = letterbox_geometry(H, W, self.imgsz)
-        b, s, c, v = detect_frame_jit(
+        packed = np.asarray(detect_frame_jit(
             self.params, jnp.asarray(img), geom, self.spec, self.imgsz,
-            self.classes, self.conf, self.iou, self.max_det, self.dtype)
-        b, s, c, v = map(np.asarray, (b, s, c, v))
-        n = int(v.sum())
-        keep = v.astype(bool)
-        out = np.concatenate([
-            np.clip(b[keep], 0, [W, H, W, H]),
-            s[keep, None], c[keep, None].astype(np.float32)], axis=1)
-        return out
+            self.classes, self.conf, self.iou, self.max_det, self.dtype))
+        keep = packed[:, 6] > 0
+        out = packed[keep]
+        out[:, :4] = np.clip(out[:, :4], 0, [W, H, W, H])
+        return out[:, :6]
