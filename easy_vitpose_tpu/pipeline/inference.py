@@ -53,7 +53,9 @@ class VitInference:
                  single_pose: bool = False,
                  yolo_step: int = 1,
                  dtype: str = "fp32",
-                 max_people: int = 64):
+                 max_people: int = 64,
+                 model_cfg=None,
+                 flip_test: bool = False):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -78,9 +80,19 @@ class VitInference:
 
         assert model_name in (None, "s", "b", "l", "h"), \
             f"The model name {model_name} is not valid"
-        if model_name is None:
-            raise ValueError("model_name ('s'|'b'|'l'|'h') is required")
-        self.cfg = get_model_config(dataset, model_name)
+        if model_cfg is not None:
+            self.cfg = model_cfg  # custom architecture override
+        else:
+            if model_name is None:
+                raise ValueError("model_name ('s'|'b'|'l'|'h') is required")
+            self.cfg = get_model_config(dataset, model_name)
+        # flip-test averaging (off by default, like the reference's actual
+        # inference path; its configs declare flip_test but never wire it)
+        if flip_test:
+            from ..skeletons import flip_pairs as _fp
+            self._flip_pairs = _fp(dataset)
+        else:
+            self._flip_pairs = None
 
         # --- weights ---
         if model.endswith(".pth"):
@@ -201,7 +213,8 @@ class VitInference:
             mask[:n] = True
             out = pose_step_jit(self._params, jnp.asarray(img),
                                 jnp.asarray(boxes_p), jnp.asarray(mask),
-                                self.cfg, compute_dtype=self.compute_dtype)
+                                self.cfg, compute_dtype=self.compute_dtype,
+                                flip_pairs=self._flip_pairs)
             out = np.asarray(out)
             for i, (pid, score) in enumerate(zip(ids, scores)):
                 frame_keypoints[pid] = out[i]
