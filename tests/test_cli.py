@@ -1,0 +1,75 @@
+"""CLI smoke tests: image and video inference end-to-end (CPU, ViT-S random
+weights, precollapsed to run within CI time)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def vits_ckpt(tmp_path_factory):
+    import jax
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+    p = tmp_path_factory.mktemp("w") / "vitpose-s-coco.npz"
+    save_params(str(p), init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    return str(p)
+
+
+def test_infer_cli_image(vits_ckpt, tmp_path):
+    from easy_vitpose_tpu.cli.infer import main
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
+    ip = str(tmp_path / "img.png")
+    cv2.imwrite(ip, img)
+    out = str(tmp_path / "out")
+    main(["--input", ip, "--model", vits_ckpt, "--model-name", "s",
+          "--output-path", out, "--save-json", "--save-img",
+          "--dtype", "fp32"])
+    assert os.path.exists(os.path.join(out, "img_out.png"))
+    with open(os.path.join(out, "img_keypoints.json")) as f:
+        data = json.load(f)
+    assert "keypoints" in data and "skeleton" in data
+
+
+def test_infer_cli_video(vits_ckpt, tmp_path):
+    from easy_vitpose_tpu.cli.infer import main
+    vp = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"MJPG"), 10, (160, 120))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (120, 160, 3), np.uint8))
+    w.release()
+    out = str(tmp_path / "out")
+    # video path requires VIDEO_EXTS; .avi included
+    main(["--input", vp, "--model", vits_ckpt, "--model-name", "s",
+          "--output-path", out, "--save-json", "--dtype", "fp32"])
+    assert os.path.exists(os.path.join(out, "clip_out.mp4"))
+    with open(os.path.join(out, "clip_keypoints.json")) as f:
+        data = json.load(f)
+    assert len(data["keypoints"]) == 3
+
+
+def test_videoreader_prefetch(tmp_path):
+    from easy_vitpose_tpu.utils.io import VideoReader, video_metadata
+    vp = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+    rng = np.random.default_rng(0)
+    frames_in = [rng.integers(0, 255, (48, 64, 3), np.uint8)
+                 for _ in range(5)]
+    for f in frames_in:
+        w.write(f)
+    w.release()
+    frames = list(VideoReader(vp, prefetch=2))
+    assert len(frames) == 5
+    assert frames[0].shape == (48, 64, 3)
+    frames_sync = list(VideoReader(vp, prefetch=0))
+    for a, b in zip(frames, frames_sync):
+        np.testing.assert_array_equal(a, b)
+    meta = video_metadata(vp)
+    assert meta["frames"] == 5 and meta["width"] == 64
