@@ -135,6 +135,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             losses.append(metrics["loss"])
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
             else float("nan")
+        if losses and not np.isfinite(train_loss):
+            # failure detection: a diverged/NaN step poisons the optimizer
+            # state irreversibly — fail loudly instead of training on garbage
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch} "
+                f"({train_loss}); check LR/data (last ckpt in "
+                f"{settings.work_dir})")
 
         val_loss = train_loss
         if val_ds is not None and len(val_ds):
