@@ -113,7 +113,8 @@ def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
 
 
 def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
-                *, train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                *, train: bool = False, rng: Optional[jax.Array] = None,
+                unroll: bool = False, remat: bool = False) -> jnp.ndarray:
     """Run the backbone.
 
     Args:
@@ -122,6 +123,9 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
       x: (B, H, W, 3) normalized image, NHWC.
       train: apply stochastic depth (drop-path) when True.
       rng: PRNG key for drop-path (required when train and drop_path_rate > 0).
+      unroll: python-unroll the block stack instead of lax.scan.
+      remat: rematerialize each block's activations in the backward pass
+        (jax.checkpoint) — trades FLOPs for HBM when training L/H sizes.
 
     Returns:
       (B, Hp, Wp, D) feature map, NHWC.
@@ -150,8 +154,20 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
         out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask)
         return out, None
 
-    xs = params["blocks"] if masks is None else (params["blocks"], masks)
-    tokens, _ = jax.lax.scan(body, tokens, xs)
+    if remat:
+        body = jax.checkpoint(body)
+
+    if unroll:
+        # python-unrolled stack: one HLO per layer — lets XLA schedule
+        # across block boundaries (can beat scan for serving); scan keeps
+        # compile time/HLO size depth-independent (default).
+        for i in range(depth):
+            layer = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+            tokens, _ = body(tokens, layer if masks is None
+                             else (layer, masks[i]))
+    else:
+        xs = params["blocks"] if masks is None else (params["blocks"], masks)
+        tokens, _ = jax.lax.scan(body, tokens, xs)
 
     tokens = layer_norm(tokens, params["ln_s"], params["ln_b"], cfg.layer_norm_eps)
     Hp, Wp = cfg.patch_shape

@@ -28,10 +28,11 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
 
 
 def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
-                          rng: Optional[jax.Array] = None
-                          ) -> Tuple[jnp.ndarray, Any]:
+                          rng: Optional[jax.Array] = None,
+                          remat: bool = False) -> Tuple[jnp.ndarray, Any]:
     """Training forward: returns (heatmaps NCHW, new_bn_state)."""
-    feats = vit_forward(params["backbone"], x, cfg.backbone, train=True, rng=rng)
+    feats = vit_forward(params["backbone"], x, cfg.backbone, train=True,
+                        rng=rng, remat=remat)
     heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
 

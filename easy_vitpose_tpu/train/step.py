@@ -154,7 +154,7 @@ def merge_bn_state(params, bn_state):
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
-                    *, use_amp: bool = True,
+                    *, use_amp: bool = True, remat: bool = False,
                     loss_fn: Callable = joints_mse_loss):
     """Build the jittable train step.
 
@@ -167,7 +167,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             params = merge_bn_state(trainable, state["bn_state"])
             fwd_params = cast_params(params, jnp.bfloat16) if use_amp else params
             x = batch["images"].astype(jnp.bfloat16 if use_amp else jnp.float32)
-            heat, new_bn = vitpose_forward_train(fwd_params, x, cfg, rng=rng)
+            heat, new_bn = vitpose_forward_train(fwd_params, x, cfg,
+                                                 rng=rng, remat=remat)
             loss = loss_fn(heat, batch["targets"], batch["target_weights"])
             return loss, new_bn
 

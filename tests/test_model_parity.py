@@ -74,3 +74,26 @@ def test_bf16_forward_close_to_f32():
                      dtype=np.float32)
     rng = np.ptp(y_ref)
     assert np.max(np.abs(y16 - y_ref)) < 0.02 * rng
+
+
+def test_unroll_and_remat_match_scan():
+    import jax
+    from easy_vitpose_tpu.models.vit import vit_forward
+    from easy_vitpose_tpu.convert.vitpose_torch import convert_vitpose_state_dict
+    cfg = CASES["tiny"]
+    sd, x_nchw, _ = load_case("tiny")
+    params = convert_vitpose_state_dict(sd, cfg)
+    x = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+    base = np.asarray(vit_forward(params["backbone"], x, cfg.backbone))
+    unrolled = np.asarray(vit_forward(params["backbone"], x, cfg.backbone,
+                                      unroll=True))
+    np.testing.assert_allclose(unrolled, base, atol=1e-6)
+
+    def loss(p, use_remat):
+        return jnp.sum(vit_forward(p, x, cfg.backbone, remat=use_remat) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params["backbone"])
+    g_remat = jax.grad(lambda p: loss(p, True))(params["backbone"])
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         g_plain, g_remat)
+    assert max(jax.tree.leaves(diffs)) < 1e-4
