@@ -67,3 +67,13 @@ def test_soft_oks_nms(g):
 
 def test_bbox_nms(g):
     np.testing.assert_array_equal(O.bbox_nms(g["dets"], 0.4), g["keep_bbox"])
+
+
+def test_native_nms_matches_numpy(g):
+    from easy_vitpose_tpu import native
+    keep_np = O.bbox_nms(g["dets"], 0.4)
+    keep_c = native.nms_cpu(g["dets"], 0.4)
+    if native.native_available():
+        np.testing.assert_array_equal(keep_c, keep_np)
+    else:  # fallback path must still agree
+        np.testing.assert_array_equal(keep_c, keep_np)
