@@ -50,7 +50,9 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
       masked slots are all-zero.
     """
     geo = crop_geometry(boxes, frame.shape[:2], y_bounds=y_bounds)
-    crops = sample_crops(frame, geo, IMAGE_SIZE)
+    # bf16 serving samples crops in bf16 too (error <= the reference's own
+    # uint8 resize quantization; halves the sampler's HBM traffic)
+    crops = sample_crops(frame, geo, IMAGE_SIZE, sample_dtype=compute_dtype)
     x = normalize_crops(crops, dtype=compute_dtype)
     heatmaps = vitpose_forward(params, x, cfg).astype(jnp.float32)
     if flip_pairs is not None:
