@@ -69,22 +69,32 @@ def patch_embed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return (_dot(x, w) + b).astype(x.dtype)
 
 
-def attention(x: jnp.ndarray, p: Params, num_heads: int) -> jnp.ndarray:
-    """Fused-QKV MHSA (reference vit.py:143-180 semantics)."""
+def attention(x: jnp.ndarray, p: Params, num_heads: int,
+              impl: str = "einsum") -> jnp.ndarray:
+    """Fused-QKV MHSA (reference vit.py:143-180 semantics).
+
+    impl='einsum': explicit QK^T softmax V with f32 logits (parity path).
+    impl='sdpa': jax.nn.dot_product_attention — lets XLA pick a fused
+    attention lowering where available.
+    """
     B, N, D = x.shape
     qkv = _dot(x, p["qkv_w"]) + p["qkv_b"]          # (B, N, 3D) f32
     qkv = qkv.astype(x.dtype).reshape(B, N, 3, num_heads, D // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, h, d)
-    q = jnp.swapaxes(q, 1, 2)                        # (B, h, N, d)
-    k = jnp.swapaxes(k, 1, 2)
-    v = jnp.swapaxes(v, 1, 2)
-    scale = (D // num_heads) ** -0.5
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
+    if impl == "sdpa":
+        out = jax.nn.dot_product_attention(q, k, v)  # (B, N, h, d)
+        out = out.reshape(B, N, D)
+    else:
+        q = jnp.swapaxes(q, 1, 2)                    # (B, h, N, d)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        scale = (D // num_heads) ** -0.5
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
     return (_dot(out, p["proj_w"]) + p["proj_b"]).astype(x.dtype)
 
 
@@ -96,13 +106,15 @@ def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 
 
 def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
-          drop_path_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+          drop_path_keep: Optional[jnp.ndarray] = None,
+          attn_impl: str = "einsum") -> jnp.ndarray:
     """Pre-LN transformer block (reference vit.py:182-205).
 
     ``drop_path_keep``: optional (B, 1, 1) pre-scaled stochastic-depth mask
     (mask/keep_prob) applied to each residual branch during training.
     """
-    a = attention(layer_norm(x, p["ln1_s"], p["ln1_b"], eps), p, num_heads)
+    a = attention(layer_norm(x, p["ln1_s"], p["ln1_b"], eps), p, num_heads,
+                  impl=attn_impl)
     if drop_path_keep is not None:
         a = a * drop_path_keep
     x = x + a
@@ -114,7 +126,8 @@ def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
 
 def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
                 *, train: bool = False, rng: Optional[jax.Array] = None,
-                unroll: bool = False, remat: bool = False) -> jnp.ndarray:
+                unroll: bool = False, remat: bool = False,
+                attn_impl: str = "einsum") -> jnp.ndarray:
     """Run the backbone.
 
     Args:
@@ -151,7 +164,8 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
 
     def body(carry, layer):
         p, mask = (layer, None) if masks is None else layer
-        out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask)
+        out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask,
+                    attn_impl=attn_impl)
         return out, None
 
     if remat:

@@ -97,3 +97,16 @@ def test_unroll_and_remat_match_scan():
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          g_plain, g_remat)
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_sdpa_attention_matches_einsum():
+    from easy_vitpose_tpu.models.vit import vit_forward
+    from easy_vitpose_tpu.convert.vitpose_torch import convert_vitpose_state_dict
+    cfg = CASES["tiny"]
+    sd, x_nchw, _ = load_case("tiny")
+    params = convert_vitpose_state_dict(sd, cfg)
+    x = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+    a = np.asarray(vit_forward(params["backbone"], x, cfg.backbone))
+    b = np.asarray(vit_forward(params["backbone"], x, cfg.backbone,
+                               attn_impl="sdpa"))
+    np.testing.assert_allclose(a, b, atol=2e-5)
