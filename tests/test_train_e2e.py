@@ -5,6 +5,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,3 +106,33 @@ def test_partial_resume_drops_mismatched_head():
     np.testing.assert_array_equal(
         np.asarray(merged["head"]["deconv"][0]["w"]),
         np.asarray(params17["head"]["deconv"][0]["w"]))
+
+
+def test_orbax_full_state_roundtrip(tmp_path):
+    from easy_vitpose_tpu.train import step as trainlib
+    from easy_vitpose_tpu.train.orbax_ckpt import (restore_train_state,
+                                                   save_train_state)
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    tx = trainlib.make_optimizer(1e-3)
+    state = trainlib.init_train_state(params, tx)
+    # advance one step so optimizer moments are non-trivial
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": np.asarray(rng.normal(size=(2, 256, 192, 3)), np.float32),
+        "targets": np.asarray(rng.uniform(0, 1, (2, 17, 64, 48)), np.float32),
+        "target_weights": np.ones((2, 17, 1), np.float32),
+    }
+    step = trainlib.make_train_step(cfg, tx, use_amp=False)
+    state, _ = jax.jit(step)(state, jax.tree.map(jnp.asarray, batch),
+                             jax.random.PRNGKey(0))
+    path = str(tmp_path / "state")
+    save_train_state(path, state)
+    fresh = trainlib.init_train_state(
+        init_vitpose_params(jax.random.PRNGKey(9), cfg), tx)
+    restored = restore_train_state(path, template=fresh)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.tree.map(np.asarray, state), jax.tree.map(np.asarray, restored))
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert int(restored["step"]) == 1
