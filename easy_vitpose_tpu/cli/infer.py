@@ -105,10 +105,16 @@ def run_one(args, input_path: str) -> None:
                 if is_video:
                     if out_writer is None:
                         h, w = bgr.shape[:2]
-                        out_writer = cv2.VideoWriter(
-                            os.path.join(args.output_path, base + "_out.mp4"),
-                            cv2.VideoWriter_fourcc(*"mp4v"),
-                            meta.get("fps", 30) or 30, (w, h))
+                        # codec probing with fallback (reference
+                        # inference.py:75-85 tries avc1 then falls back)
+                        for codec in ("avc1", "mp4v", "MJPG"):
+                            out_writer = cv2.VideoWriter(
+                                os.path.join(args.output_path,
+                                             base + "_out.mp4"),
+                                cv2.VideoWriter_fourcc(*codec),
+                                meta.get("fps", 30) or 30, (w, h))
+                            if out_writer.isOpened():
+                                break
                     out_writer.write(bgr)
                 elif args.save_img:
                     cv2.imwrite(os.path.join(args.output_path,
