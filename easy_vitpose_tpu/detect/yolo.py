@@ -436,9 +436,10 @@ class YoloDetector:
         self.max_det = max_det
         self.dtype = dtype
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        """img: (H, W, 3) RGB uint8 -> (N, 6) [x1,y1,x2,y2,conf,cls] numpy."""
-        H, W = img.shape[:2]
+    def __call__(self, img, frame_hw=None) -> np.ndarray:
+        """img: (H, W, 3) RGB uint8 (numpy or device array) ->
+        (N, 6) [x1,y1,x2,y2,conf,cls] numpy."""
+        H, W = frame_hw if frame_hw is not None else img.shape[:2]
         geom = letterbox_geometry(H, W, self.imgsz)
         packed = np.asarray(detect_frame_jit(
             self.params, jnp.asarray(img), geom, self.spec, self.imgsz,

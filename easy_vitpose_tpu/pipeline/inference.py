@@ -161,6 +161,8 @@ class VitInference:
         """
         res_pd = np.empty((0, 5), np.float32)
         results = None
+        # upload the frame once; detector and pose step share the buffer
+        frame_dev = jnp.asarray(img)
         if bboxes is not None:
             bb = np.asarray(bboxes, np.float32).reshape(-1, 5)
             res_pd = bb
@@ -168,7 +170,7 @@ class VitInference:
                 self.tracker is None
                 or self.frame_counter % self.yolo_step == 0
                 or self.frame_counter < 3):
-            results = self._detector(img)
+            results = self._detector(frame_dev, frame_hw=img.shape[:2])
             if len(results):
                 # detector rows are [x1,y1,x2,y2,conf,cls]; keep first 5
                 # (conf filter at 0.35, reference inference.py:240-241)
@@ -211,7 +213,7 @@ class VitInference:
             boxes_p[:n] = res_pd[:n, :4]
             mask = np.zeros((M,), bool)
             mask[:n] = True
-            out = pose_step_jit(self._params, jnp.asarray(img),
+            out = pose_step_jit(self._params, frame_dev,
                                 jnp.asarray(boxes_p), jnp.asarray(mask),
                                 self.cfg, compute_dtype=self.compute_dtype,
                                 flip_pairs=self._flip_pairs)

@@ -17,7 +17,7 @@ class CountingDetector:
         self.calls = 0
         self.conf = 0.25
 
-    def __call__(self, img):
+    def __call__(self, img, frame_hw=None):
         self.calls += 1
         return np.array([[50, 40, 150, 200, 0.9, 0]], np.float32)
 
