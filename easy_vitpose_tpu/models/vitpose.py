@@ -20,9 +20,12 @@ Params = Dict[str, Any]
 
 def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                     *, train: bool = False,
-                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                    rng: Optional[jax.Array] = None,
+                    attn_impl: str = "einsum",
+                    unroll: bool = False) -> jnp.ndarray:
     """(B, 256, 192, 3) normalized NHWC crops -> (B, K, 64, 48) heatmaps."""
-    feats = vit_forward(params["backbone"], x, cfg.backbone, train=train, rng=rng)
+    feats = vit_forward(params["backbone"], x, cfg.backbone, train=train,
+                        rng=rng, attn_impl=attn_impl, unroll=unroll)
     heat, _ = head_forward(params["head"], feats, cfg.head, train=False)
     return jnp.transpose(heat, (0, 3, 1, 2))
 
