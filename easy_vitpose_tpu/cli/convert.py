@@ -27,7 +27,23 @@ def main(argv=None):
     py.add_argument("--ckpt", required=True)
     py.add_argument("--out", required=True)
 
+    ps = sub.add_parser("split", help="split a ViTPose+ MoE checkpoint into "
+                        "per-dataset single-head .npz checkpoints "
+                        "(reference model_split.py equivalent)")
+    ps.add_argument("--source", required=True)
+    ps.add_argument("--target", required=True, help="output directory")
+    ps.add_argument("--prefix", default="vitpose-")
+    ps.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
+
     args = p.parse_args(argv)
+    if args.cmd == "split":
+        from ..convert.model_split import split_checkpoint_file
+        paths = split_checkpoint_file(args.source, args.target,
+                                      prefix=args.prefix,
+                                      size=args.model_name)
+        for ds, path in paths.items():
+            print(f"wrote {path}")
+        return
     if args.cmd == "vitpose":
         from ..convert.vitpose_torch import load_torch_checkpoint
         from ..utils.checkpoint import save_params
