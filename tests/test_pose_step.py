@@ -89,3 +89,35 @@ def test_bf16_sampling_close_to_f32(g):
     # two bf16-rounded lerp stages: ~0.5 LSB each; mean well below 1 LSB and
     # worst case ~2.6 LSB — smaller than bf16 model-forward noise downstream
     assert d.mean() < 0.5 and d.max() < 3.0
+
+
+def test_matmul_sampler_matches_gather(g):
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.ops.preprocess import sample_crops_matmul
+    frame = jnp.asarray(g["frame"])
+    geo = crop_geometry(jnp.asarray(g["boxes"]), frame.shape[:2])
+    ref = np.asarray(sample_crops(frame, geo, IMAGE_SIZE))
+    mm = np.asarray(sample_crops_matmul(frame, geo, IMAGE_SIZE,
+                                        sample_dtype=jnp.float32))
+    np.testing.assert_allclose(mm, ref, atol=1e-4)
+
+
+def test_pose_step_matmul_sampler(g, tiny_params):
+    cfg = CASES["tiny"]
+    boxes = g["boxes"]
+    M = bucket_slots(len(boxes))
+    boxes_p = np.zeros((M, 4), np.float32)
+    boxes_p[:len(boxes)] = boxes
+    mask = np.zeros((M,), bool)
+    mask[:len(boxes)] = True
+    import jax.numpy as jnp
+    a = np.asarray(pose_step_jit(tiny_params, jnp.asarray(g["frame"]),
+                                 jnp.asarray(boxes_p), jnp.asarray(mask), cfg))
+    b = np.asarray(pose_step_jit(tiny_params, jnp.asarray(g["frame"]),
+                                 jnp.asarray(boxes_p), jnp.asarray(mask), cfg,
+                                 sampler="matmul"))
+    # same crops (1e-4) -> same heatmaps -> scores equal, coords equal except
+    # possible argmax ties on this random-weight model
+    assert np.abs(a[..., 2] - b[..., 2]).max() < 1e-4
+    d = np.abs(a[..., :2] - b[..., :2])
+    assert (d.max(-1) < 0.5).mean() >= 0.97
