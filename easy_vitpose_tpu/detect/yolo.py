@@ -334,6 +334,40 @@ def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
                             v.astype(jnp.float32)[:, None]], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "spec", "imgsz", "classes", "conf_t", "iou_t", "max_det", "dtype"))
+def detect_batch_jit(params, frames, geom, spec: YoloSpec, imgsz: int,
+                     classes, conf_t: float, iou_t: float, max_det: int,
+                     dtype):
+    """Batched multi-stream detection: (S, H, W, 3) frames -> (S, max_det, 7)
+    packed [x1,y1,x2,y2,conf,cls,valid] in ONE program + ONE fetch (the
+    per-stream path would pay one tunnel RTT per stream)."""
+    r, new_w, new_h, left, top = geom
+
+    def one(frame):
+        img = letterbox_sample(frame, imgsz, r, new_w, new_h, left, top)
+        return (img / 255.0).astype(dtype)
+
+    x = jax.vmap(one)(frames)                       # (S, imgsz, imgsz, 3)
+    outs = yolo_forward(params, x, spec)
+    boxes, scores = decode_detections(outs, spec.nc)   # (S, A, ...)
+    if classes is not None:
+        sel = jnp.zeros((spec.nc,), bool).at[jnp.asarray(classes)].set(True)
+        scores = jnp.where(sel[None, None, :], scores, 0.0)
+    conf = jnp.max(scores, -1)
+    cls = jnp.argmax(scores, -1).astype(jnp.int32)
+
+    def nms_one(b, s, c):
+        bb, ss, cc, vv = nms_fixed(b, s, c, iou_threshold=iou_t,
+                                   conf_threshold=conf_t, max_det=max_det)
+        bb = (bb - jnp.asarray([left, top, left, top], jnp.float32)) / r
+        return jnp.concatenate([bb, ss[:, None],
+                                cc.astype(jnp.float32)[:, None],
+                                vv.astype(jnp.float32)[:, None]], axis=1)
+
+    return jax.vmap(nms_one)(boxes, conf, cls)
+
+
 def detect_head_channels(spec: YoloSpec) -> Tuple[int, int]:
     """(c2, c3) hidden widths of the Detect branches (ultralytics formula)."""
     ch0 = spec.widths[2]  # P3 channels
@@ -435,6 +469,23 @@ class YoloDetector:
         self.iou = iou
         self.max_det = max_det
         self.dtype = dtype
+
+    def detect_batch(self, frames) -> list:
+        """frames: (S, H, W, 3) uint8 stack (same size) -> list of S
+        (N_s, 6) numpy arrays. One fused program, one host fetch."""
+        frames = jnp.asarray(frames)
+        S, H, W = frames.shape[:3]
+        geom = letterbox_geometry(H, W, self.imgsz)
+        packed = np.asarray(detect_batch_jit(
+            self.params, frames, geom, self.spec, self.imgsz, self.classes,
+            self.conf, self.iou, self.max_det, self.dtype))
+        out = []
+        for s in range(S):
+            keep = packed[s, :, 6] > 0
+            rows = packed[s][keep]
+            rows[:, :4] = np.clip(rows[:, :4], 0, [W, H, W, H])
+            out.append(rows[:, :6])
+        return out
 
     def __call__(self, img, frame_hw=None) -> np.ndarray:
         """img: (H, W, 3) RGB uint8 (numpy or device array) ->

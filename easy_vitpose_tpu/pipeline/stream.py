@@ -80,16 +80,19 @@ class MultiStreamPose:
         H, W = frames[0].shape[:2]
 
         if boxes_per_stream is None:
-            boxes_per_stream = []
             run_det = (self.frame_counter % self.yolo_step == 0
                        or self.frame_counter < 3)
-            for si in range(self.n):
-                dets = np.empty((0, 5), np.float32)
-                if run_det and self.detector is not None:
-                    r = self.detector(frames[si])
-                    if len(r):
-                        dets = r[r[:, 4] > 0.35][:, :5]
-                boxes_per_stream.append(dets)
+            if run_det and self.detector is not None:
+                if hasattr(self.detector, "detect_batch"):
+                    raw = self.detector.detect_batch(np.stack(frames))
+                else:
+                    raw = [self.detector(f) for f in frames]
+                boxes_per_stream = [
+                    (r[r[:, 4] > 0.35][:, :5] if len(r)
+                     else np.empty((0, 5), np.float32)) for r in raw]
+            else:
+                boxes_per_stream = [np.empty((0, 5), np.float32)
+                                    for _ in range(self.n)]
         self.frame_counter += 1
 
         all_boxes, all_ids, all_fidx, stream_of = [], [], [], []

@@ -64,3 +64,23 @@ def test_multistream_class_end_to_end(tiny_params):
             assert np.isfinite(k).all()
     # track ids are per-stream stable
     assert list(res[0]) == [1] and list(res[1]) == [1]
+
+
+def test_detect_batch_matches_single():
+    """Batched multi-frame detection must equal per-frame detection."""
+    import jax
+    from easy_vitpose_tpu.detect.yolo import YoloSpec, init_yolo_params, YoloDetector
+    from easy_vitpose_tpu.convert.yolo_torch import save_yolo_npz
+    import tempfile, os
+    params = init_yolo_params(jax.random.PRNGKey(0), YoloSpec("n"))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "yolov8n.npz")
+        save_yolo_npz(p, params, "n", 80)
+        det = YoloDetector(p, imgsz=160, classes=None, conf=-1.0)
+        frames = np.stack([_frame(0, 120, 160), _frame(7, 120, 160)])
+        batched = det.detect_batch(frames)
+        singles = [det(frames[0]), det(frames[1])]
+    assert len(batched) == 2
+    for b, s in zip(batched, singles):
+        assert b.shape == s.shape
+        np.testing.assert_allclose(b, s, atol=1e-3)
