@@ -78,15 +78,19 @@ class MultiStreamPose:
         {track_id: (K, 3) (y, x, score)}."""
         assert len(frames) == self.n
         H, W = frames[0].shape[:2]
+        # one host->HBM upload per tick, shared by detector and pose
+        frames_dev = jnp.asarray(np.stack(frames)) \
+            if not isinstance(frames, jnp.ndarray) else frames
 
         if boxes_per_stream is None:
             run_det = (self.frame_counter % self.yolo_step == 0
                        or self.frame_counter < 3)
             if run_det and self.detector is not None:
                 if hasattr(self.detector, "detect_batch"):
-                    raw = self.detector.detect_batch(np.stack(frames))
+                    raw = self.detector.detect_batch(frames_dev)
                 else:
-                    raw = [self.detector(f) for f in frames]
+                    raw = [self.detector(frames_dev[i], frame_hw=(H, W))
+                           for i in range(self.n)]
                 boxes_per_stream = [
                     (r[r[:, 4] > 0.35][:, :5] if len(r)
                      else np.empty((0, 5), np.float32)) for r in raw]
@@ -121,8 +125,7 @@ class MultiStreamPose:
         fidx[:nb] = all_fidx
         mask[:nb] = True
 
-        out = _pose_multi_frame(self.params,
-                                jnp.asarray(np.stack(frames)),
+        out = _pose_multi_frame(self.params, frames_dev,
                                 jnp.asarray(boxes), jnp.asarray(fidx),
                                 jnp.asarray(mask), self.cfg,
                                 compute_dtype=self.dtype)
