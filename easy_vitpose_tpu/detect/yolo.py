@@ -267,28 +267,44 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, class_ids: jnp.ndarray,
 
 # -------------------------------------------------------------- letterbox
 
-def letterbox_geometry(h: int, w: int, imgsz: int):
-    """Ultralytics LetterBox math (square, center pad).  Host-side ints."""
+def letterbox_geometry(h: int, w: int, imgsz: int, rect: bool = False,
+                       stride: int = 32):
+    """Ultralytics LetterBox math, host-side ints.
+
+    rect=False: square imgsz x imgsz canvas, center pad (one compiled shape
+    for any input).  rect=True: ultralytics auto=True minimal-rectangle mode —
+    canvas dims are the scaled size rounded up to the stride multiple (one
+    compiled shape per aspect ratio; ~44% fewer detector FLOPs on 16:9).
+    Returns (r, new_w, new_h, left, top, canvas_w, canvas_h).
+    """
     r = min(imgsz / h, imgsz / w)
     new_w, new_h = round(w * r), round(h * r)
-    dw, dh = (imgsz - new_w) / 2, (imgsz - new_h) / 2
+    if rect:
+        canvas_w = -(-new_w // stride) * stride
+        canvas_h = -(-new_h // stride) * stride
+    else:
+        canvas_w = canvas_h = imgsz
+    dw, dh = (canvas_w - new_w) / 2, (canvas_h - new_h) / 2
     top = int(round(dh - 0.1))
     left = int(round(dw - 0.1))
-    return r, new_w, new_h, left, top
+    return r, new_w, new_h, left, top, canvas_w, canvas_h
 
 
-def letterbox_sample(frame: jnp.ndarray, imgsz: int, r: float, new_w: int,
+def letterbox_sample(frame: jnp.ndarray, canvas_wh, r: float, new_w: int,
                      new_h: int, left: int, top: int) -> jnp.ndarray:
-    """Fused letterbox: bilinear sample the frame into the (imgsz, imgsz)
-    canvas, fill 114 outside.  Matches cv2.resize INTER_LINEAR half-pixel
-    convention.  Returns (imgsz, imgsz, 3) float32 in [0, 255]."""
+    """Fused letterbox: bilinear sample the frame into the (canvas_h,
+    canvas_w) canvas, fill 114 outside.  Matches cv2.resize INTER_LINEAR
+    half-pixel convention.  Returns (canvas_h, canvas_w, 3) float32 in
+    [0, 255].  canvas_wh: int (square) or (canvas_w, canvas_h)."""
+    cw, ch = (canvas_wh, canvas_wh) if isinstance(canvas_wh, int) else canvas_wh
     H, W = frame.shape[:2]
     frame_t = jnp.swapaxes(frame, 0, 1)                   # (W, H, 3)
-    xs = jnp.arange(imgsz, dtype=jnp.float32)
+    xs = jnp.arange(cw, dtype=jnp.float32)
+    ys_c = jnp.arange(ch, dtype=jnp.float32)
     src_x = (xs - left + 0.5) * (W / new_w) - 0.5
-    src_y = (xs - top + 0.5) * (H / new_h) - 0.5
+    src_y = (ys_c - top + 0.5) * (H / new_h) - 0.5
     in_x = (xs >= left) & (xs < left + new_w)
-    in_y = (xs >= top) & (xs < top + new_h)
+    in_y = (ys_c >= top) & (ys_c < top + new_h)
     sx = jnp.clip(src_x, 0.0, W - 1.0)
     sy = jnp.clip(src_y, 0.0, H - 1.0)
     x0 = jnp.floor(sx).astype(jnp.int32)
@@ -313,8 +329,8 @@ def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
                      classes, conf_t: float, iou_t: float, max_det: int,
                      dtype):
     """Single fused program: letterbox -> YOLO -> decode -> NMS -> un-letterbox."""
-    r, new_w, new_h, left, top = geom
-    img = letterbox_sample(frame, imgsz, r, new_w, new_h, left, top)
+    r, new_w, new_h, left, top, cw, ch = geom
+    img = letterbox_sample(frame, (cw, ch), r, new_w, new_h, left, top)
     x = (img / 255.0).astype(dtype)[None]
     outs = yolo_forward(params, x, spec)
     boxes, scores = decode_detections(outs, spec.nc)
@@ -342,10 +358,10 @@ def detect_batch_jit(params, frames, geom, spec: YoloSpec, imgsz: int,
     """Batched multi-stream detection: (S, H, W, 3) frames -> (S, max_det, 7)
     packed [x1,y1,x2,y2,conf,cls,valid] in ONE program + ONE fetch (the
     per-stream path would pay one tunnel RTT per stream)."""
-    r, new_w, new_h, left, top = geom
+    r, new_w, new_h, left, top, cw, ch = geom
 
     def one(frame):
-        img = letterbox_sample(frame, imgsz, r, new_w, new_h, left, top)
+        img = letterbox_sample(frame, (cw, ch), r, new_w, new_h, left, top)
         return (img / 255.0).astype(dtype)
 
     x = jax.vmap(one)(frames)                       # (S, imgsz, imgsz, 3)
@@ -446,7 +462,8 @@ class YoloDetector:
     def __init__(self, path: str, imgsz: int = 320,
                  classes: Optional[Sequence[int]] = None,
                  conf: float = 0.25, iou: float = 0.7,
-                 max_det: int = 300, dtype=jnp.float32):
+                 max_det: int = 300, dtype=jnp.float32,
+                 rect: bool = False):
         from ..utils.checkpoint import load_params
         if path.endswith(".npz"):
             tree = load_params(path)
@@ -469,13 +486,15 @@ class YoloDetector:
         self.iou = iou
         self.max_det = max_det
         self.dtype = dtype
+        self.rect = rect
 
     def detect_batch(self, frames) -> list:
         """frames: (S, H, W, 3) uint8 stack (same size) -> list of S
         (N_s, 6) numpy arrays. One fused program, one host fetch."""
         frames = jnp.asarray(frames)
         S, H, W = frames.shape[:3]
-        geom = letterbox_geometry(H, W, self.imgsz)
+        geom = letterbox_geometry(H, W, self.imgsz,
+                                  rect=getattr(self, "rect", False))
         packed = np.asarray(detect_batch_jit(
             self.params, frames, geom, self.spec, self.imgsz, self.classes,
             self.conf, self.iou, self.max_det, self.dtype))
@@ -491,7 +510,8 @@ class YoloDetector:
         """img: (H, W, 3) RGB uint8 (numpy or device array) ->
         (N, 6) [x1,y1,x2,y2,conf,cls] numpy."""
         H, W = frame_hw if frame_hw is not None else img.shape[:2]
-        geom = letterbox_geometry(H, W, self.imgsz)
+        geom = letterbox_geometry(H, W, self.imgsz,
+                                  rect=getattr(self, "rect", False))
         packed = np.asarray(detect_frame_jit(
             self.params, jnp.asarray(img), geom, self.spec, self.imgsz,
             self.classes, self.conf, self.iou, self.max_det, self.dtype))

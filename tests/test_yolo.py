@@ -135,9 +135,16 @@ def test_nms_class_aware():
 
 
 def test_letterbox_geometry():
-    r, nw, nh, left, top = Y.letterbox_geometry(480, 640, 320)
+    r, nw, nh, left, top, cw, ch = Y.letterbox_geometry(480, 640, 320)
     assert (r, nw, nh) == (0.5, 320, 240)
     assert left == 0 and top == 40
+    assert (cw, ch) == (320, 320)
+    # rect mode: canvas rounds the scaled size up to the stride multiple
+    r2, nw2, nh2, l2, t2, cw2, ch2 = Y.letterbox_geometry(480, 640, 320,
+                                                          rect=True)
+    assert (nw2, nh2) == (320, 240)
+    assert (cw2, ch2) == (320, 256)   # 240 -> 256 (stride 32)
+    assert t2 == 8 and l2 == 0
     cv2 = pytest.importorskip("cv2")
     # sampled letterbox vs cv2 resize + pad (float path)
     rng = np.random.default_rng(0)
@@ -215,3 +222,28 @@ def test_converter_structure_roundtrip():
     outs = Y.yolo_forward(jax.tree.map(jnp.asarray, params),
                           jnp.zeros((1, 64, 64, 3)), spec)
     assert outs[0].shape == (1, 8, 8, 4 * Y.REG_MAX + 80)
+
+
+def test_rect_mode_detections_close_to_square():
+    """rect letterbox must produce (nearly) the same detections as square —
+    same scale r, same content, less padding."""
+    import tempfile, os
+    from easy_vitpose_tpu.convert.yolo_torch import save_yolo_npz
+    params = Y.init_yolo_params(jax.random.PRNGKey(0), Y.YoloSpec("n"))
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (96, 160, 3), np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "yolov8n.npz")
+        save_yolo_npz(p, params, "n", 80)
+        sq = Y.YoloDetector(p, imgsz=160, conf=-0.5)
+        rc = Y.YoloDetector(p, imgsz=160, conf=-0.5, rect=True)
+        a = sq(frame)
+        b = rc(frame)
+    # random weights give near-tied scores, so NMS order differs between the
+    # two paddings; compare as sets: every top-b box must have a close match
+    # among the a boxes (content & scale identical)
+    n = min(len(a), len(b), 5)
+    assert n > 0
+    for row in b[:n]:
+        d = np.abs(a[:, :4] - row[:4]).max(axis=1)
+        assert d.min() < 1.5, (row, d.min())
