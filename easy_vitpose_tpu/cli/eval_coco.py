@@ -39,6 +39,13 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0, help="max images (debug)")
     p.add_argument("--use-gt-bbox", action="store_true",
                    help="evaluate with ground-truth boxes (no detector)")
+    p.add_argument("--oks-nms", choices=["none", "hard", "soft"],
+                   default="none",
+                   help="per-image OKS NMS over predictions before scoring "
+                        "(the reference dataset writer's nms/soft_nms, "
+                        "datasets/COCO.py:441-496; thresholds from "
+                        "configs data_cfg: oks_thr=0.9, vis_thr=0.2)")
+    p.add_argument("--oks-thr", type=float, default=0.9)
     args = p.parse_args(argv)
 
     with open(args.ann) as f:
@@ -88,6 +95,27 @@ def main(argv=None):
         if (n + 1) % 100 == 0:
             rate = (n + 1) / (time.perf_counter() - t0)
             print(f"  {n + 1}/{len(img_ids)} images ({rate:.1f} img/s)")
+
+    if args.oks_nms != "none" and results:
+        from collections import defaultdict
+        from ..ops.oks import oks_nms, soft_oks_nms
+        by_img = defaultdict(list)
+        for r in results:
+            by_img[r["image_id"]].append(r)
+        kept = []
+        for img_id, rs in by_img.items():
+            db = []
+            for r in rs:
+                kp = np.asarray(r["keypoints"], np.float64).reshape(-1, 3)
+                w = kp[:, 0].max() - kp[:, 0].min()
+                h = kp[:, 1].max() - kp[:, 1].min()
+                db.append({"keypoints": kp, "score": r["score"],
+                           "area": max(w * h, 1.0)})
+            fn = soft_oks_nms if args.oks_nms == "soft" else oks_nms
+            keep = fn(db, args.oks_thr, vis_thr=0.2)
+            kept.extend(rs[int(i)] for i in np.atleast_1d(keep))
+        print(f"OKS {args.oks_nms}-NMS: {len(results)} -> {len(kept)} dets")
+        results = kept
 
     with open(args.out, "w") as f:
         json.dump(results, f, cls=NumpyEncoder)
