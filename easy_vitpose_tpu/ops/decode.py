@@ -73,7 +73,7 @@ def gaussian_blur_2d(heatmaps: jnp.ndarray, kernel: int) -> jnp.ndarray:
 
 
 def post_dark_udp(coords: jnp.ndarray, heatmaps: jnp.ndarray,
-                  kernel: int = 11) -> jnp.ndarray:
+                  kernel: int = 11, use_pallas: bool = False) -> jnp.ndarray:
     """DARK/UDP sub-pixel refinement (reference top_down_eval.py:354-415).
 
     Args:
@@ -87,8 +87,12 @@ def post_dark_udp(coords: jnp.ndarray, heatmaps: jnp.ndarray,
     with (H + eps*I)^-1 (2x2 solved in closed form).
     """
     N, K, H, W = heatmaps.shape
-    hm = gaussian_blur_2d(heatmaps, kernel)
-    hm = jnp.log(jnp.clip(hm, 0.001, 50.0))
+    if use_pallas:
+        from .pallas_kernels import udp_modulate_pallas
+        hm = udp_modulate_pallas(heatmaps, kernel)
+    else:
+        hm = gaussian_blur_2d(heatmaps, kernel)
+        hm = jnp.log(jnp.clip(hm, 0.001, 50.0))
     hm = jnp.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
     # The reference flattens the WHOLE batch before gathering (:389-402), so
     # out-of-map offsets at borders (or the degenerate coords == -1 case) read
@@ -148,7 +152,8 @@ def transform_preds(coords: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray
 
 
 def keypoints_from_heatmaps_udp(heatmaps: jnp.ndarray, center: jnp.ndarray,
-                                scale: jnp.ndarray, kernel: int = 11
+                                scale: jnp.ndarray, kernel: int = 11,
+                                use_pallas: bool = False
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """UDP decode composition (reference top_down_eval.py:586-589 + :633-636).
 
@@ -156,7 +161,8 @@ def keypoints_from_heatmaps_udp(heatmaps: jnp.ndarray, center: jnp.ndarray,
     """
     N, K, H, W = heatmaps.shape
     preds, maxvals = get_max_preds(heatmaps)
-    preds = post_dark_udp(preds, heatmaps, kernel=kernel)
+    preds = post_dark_udp(preds, heatmaps, kernel=kernel,
+                          use_pallas=use_pallas)
     preds = transform_preds(preds, center, scale, (W, H), use_udp=True)
     return preds, maxvals
 

@@ -65,3 +65,29 @@ def test_decode_is_jittable(g):
     f = jax.jit(lambda h, c, s: decode.keypoints_from_heatmaps_udp(h, c, s))
     preds, _ = f(g["heatmaps"], g["centers"], g["scales"])
     np.testing.assert_allclose(np.asarray(preds), g["preds_full"], atol=0.1)
+
+
+def test_pallas_udp_modulate_matches_xla(g):
+    """Pallas fused blur+clip+log (interpret mode on CPU) vs the XLA path."""
+    from easy_vitpose_tpu.ops.pallas_kernels import udp_modulate_pallas
+    import jax.numpy as jnp
+    hm = g["heatmaps"][:2]
+    ref = np.log(np.clip(np.asarray(decode.gaussian_blur_2d(hm, 11)),
+                         0.001, 50.0))
+    got = np.asarray(udp_modulate_pallas(jnp.asarray(hm), 11, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pallas_decode_end_to_end(g):
+    """Full UDP decode with the Pallas modulation (interpret mode)."""
+    from easy_vitpose_tpu.ops import pallas_kernels as PK
+    import easy_vitpose_tpu.ops.decode as D
+    import functools
+    orig = PK.udp_modulate_pallas
+    PK.udp_modulate_pallas = functools.partial(orig, interpret=True)
+    try:
+        preds, maxvals = D.keypoints_from_heatmaps_udp(
+            g["heatmaps"], g["centers"], g["scales"], use_pallas=True)
+    finally:
+        PK.udp_modulate_pallas = orig
+    np.testing.assert_allclose(np.asarray(preds), g["preds_full"], atol=0.1)
