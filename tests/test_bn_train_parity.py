@@ -19,10 +19,12 @@ def test_batch_norm_train_matches_torch():
         bn.bias.normal_()
         bn.running_mean.normal_()
         bn.running_var.uniform_(0.5, 2.0)
-    p = {"scale": jnp.asarray(bn.weight.detach().numpy()),
-         "bias": jnp.asarray(bn.bias.detach().numpy()),
-         "mean": jnp.asarray(bn.running_mean.numpy()),
-         "var": jnp.asarray(bn.running_var.numpy())}
+    # np.array copies: on CPU jnp.asarray zero-copies numpy views of torch
+    # buffers, which torch then mutates in place during the forward
+    p = {"scale": jnp.asarray(np.array(bn.weight.detach().numpy())),
+         "bias": jnp.asarray(np.array(bn.bias.detach().numpy())),
+         "mean": jnp.asarray(np.array(bn.running_mean.numpy())),
+         "var": jnp.asarray(np.array(bn.running_var.numpy()))}
 
     bn.train()
     xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
