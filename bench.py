@@ -61,7 +61,9 @@ def main():
         out = None
         for i in range(n):
             out = pose_step_jit(params, frames[i % len(frames)], b, mask,
-                                cfg, compute_dtype=dtype)
+                                cfg, compute_dtype=dtype,
+                                sampler="matmul" if dtype == jnp.bfloat16
+                                else "gather")
             b = boxes + 0.0 * out[0, 0, 0]
         return float(out[0, 0, 0])  # single fetch = hard sync
 

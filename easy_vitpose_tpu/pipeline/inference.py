@@ -105,6 +105,10 @@ class VitInference:
             raise ValueError(f"unsupported checkpoint format: {model}")
         self.compute_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") \
             else jnp.float32
+        # MXU matmul sampler is ~7% faster e2e; the gather sampler is the
+        # f32 bit-parity path (see ops/preprocess.py)
+        self._sampler = ("matmul" if self.compute_dtype == jnp.bfloat16
+                         else "gather")
         params = jax.tree.map(jnp.asarray, params)
         if self.compute_dtype == jnp.bfloat16:
             params = cast_params(params, jnp.bfloat16)
@@ -216,7 +220,8 @@ class VitInference:
             out = pose_step_jit(self._params, frame_dev,
                                 jnp.asarray(boxes_p), jnp.asarray(mask),
                                 self.cfg, compute_dtype=self.compute_dtype,
-                                flip_pairs=self._flip_pairs)
+                                flip_pairs=self._flip_pairs,
+                                sampler=self._sampler)
             out = np.asarray(out)
             for i, (pid, score) in enumerate(zip(ids, scores)):
                 frame_keypoints[pid] = out[i]
