@@ -73,3 +73,47 @@ def test_videoreader_prefetch(tmp_path):
         np.testing.assert_array_equal(a, b)
     meta = video_metadata(vp)
     assert meta["frames"] == 5 and meta["width"] == 64
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """cli.train main() on a tiny synthetic COCO set, 1 epoch, ViT-S."""
+    import json
+    from easy_vitpose_tpu.cli.train import main
+    root = tmp_path / "coco"
+    (root / "train2017").mkdir(parents=True)
+    (root / "annotations").mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(8):
+        img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(str(root / "train2017" / name), img)
+        images.append({"id": i, "file_name": name, "width": 320,
+                       "height": 240})
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.uniform(40, 280, 17)
+        kp[:, 1] = rng.uniform(40, 200, 17)
+        kp[:, 2] = 2
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "keypoints": kp.ravel().tolist(), "num_keypoints": 17,
+            "bbox": [40.0, 40.0, 240.0, 160.0], "area": 240.0 * 160.0,
+            "iscrowd": 0})
+    ann = {"images": images, "annotations": annotations}
+    for v in ("train2017", "val2017"):
+        with open(root / "annotations" / f"person_keypoints_{v}.json",
+                  "w") as f:
+            json.dump(ann, f)
+    (root / "val2017").mkdir()
+    for im in images:
+        (root / "val2017" / im["file_name"]).symlink_to(
+            root / "train2017" / im["file_name"])
+
+    work = str(tmp_path / "run")
+    main(["--data-root", str(root), "--model-name", "s", "--dataset", "coco",
+          "--epochs", "1", "--batch-size", "8", "--no-amp",
+          "--work-dir", work])
+    assert os.path.exists(os.path.join(work, "last.npz"))
+    with open(os.path.join(work, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
