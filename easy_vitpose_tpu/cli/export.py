@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import functools
 
-import numpy as np
 
 
 def main(argv=None):

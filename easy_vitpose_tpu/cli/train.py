@@ -15,7 +15,6 @@ import json
 import os
 
 import jax
-import numpy as np
 
 from ..configs import get_model_config
 from ..models.vitpose import init_vitpose_params

@@ -16,7 +16,7 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-from ..detect.yolo import REG_MAX, YoloSpec
+from ..detect.yolo import YoloSpec
 
 BN_EPS = 1e-3  # ultralytics BatchNorm2d eps
 

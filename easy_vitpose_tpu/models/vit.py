@@ -21,7 +21,6 @@ Reference quirks reproduced (load-bearing for checkpoint parity):
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -12,7 +12,7 @@ Host-side numpy math equivalent to the reference's two transform lineages:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..configs import IMAGE_SIZE, IMAGENET_MEAN, IMAGENET_STD

@@ -15,7 +15,7 @@ analogue of the reference's SLURM/MPI env plumbing, dist_util.py:60-117).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -20,12 +20,11 @@ that is zeroed at the end — branchless, recompile-free.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..configs import HEATMAP_SIZE, IMAGE_SIZE, ModelConfig
+from ..configs import IMAGE_SIZE, ModelConfig
 from ..models.vitpose import vitpose_forward
 from ..ops import decode
 from ..ops.preprocess import (crop_geometry, normalize_crops, sample_crops,

@@ -21,7 +21,7 @@ import os
 import queue
 import random
 import threading
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

@@ -14,11 +14,10 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..configs import ModelConfig

@@ -14,8 +14,7 @@ State layout (a plain dict so orbax can checkpoint it directly):
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ Operates on BGR uint8 images (cv2 convention) like the reference.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 
