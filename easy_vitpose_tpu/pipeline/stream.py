@@ -19,7 +19,7 @@ import numpy as np
 
 from ..configs import ModelConfig
 from ..track.sort import Sort
-from .pose_step import bucket_slots, pose_step
+from .pose_step import pose_step
 import functools
 
 
@@ -114,7 +114,11 @@ class MultiStreamPose:
         if not all_boxes:
             return results
         nb = len(all_boxes)
-        M = bucket_slots(nb, max_slots=self.n * self.max_pp)
+        # FIXED slot count: track counts drift tick to tick, and letting the
+        # bucket flap between powers of two retriggers XLA compilation of the
+        # pose program mid-stream (~10 s for ViT-H).  Serving wants exactly
+        # one compiled shape.
+        M = self.n * self.max_pp
         boxes = np.zeros((M, 4), np.float32)
         fidx = np.zeros((M,), np.int32)
         mask = np.zeros((M,), bool)
