@@ -84,9 +84,13 @@ def main(argv=None):
             continue
         kpts = model.inference(img, bboxes=bboxes)
         for pid, k in kpts.items():
-            # k rows are (y, x, score); COCO wants flat [x, y, v] * K
-            flat = np.stack([k[:, 1], k[:, 0],
-                             np.zeros_like(k[:, 0])], -1).ravel()
+            # k rows are (y, x, score); COCO wants flat [x, y, v] * K.
+            # Keep the per-keypoint confidence in the third slot (like the
+            # reference dataset writer, datasets/COCO.py:481) — COCOeval
+            # ignores predicted v, but the --oks-nms path below gates
+            # keypoints on it via vis_thr, so zeros would make OKS-NMS a
+            # silent no-op.
+            flat = np.stack([k[:, 1], k[:, 0], k[:, 2]], -1).ravel()
             results.append({
                 "image_id": int(img_id), "category_id": 1,
                 "keypoints": [round(float(v), 2) for v in flat],

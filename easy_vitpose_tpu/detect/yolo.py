@@ -463,7 +463,7 @@ class YoloDetector:
                  classes: Optional[Sequence[int]] = None,
                  conf: float = 0.25, iou: float = 0.7,
                  max_det: int = 300, dtype=jnp.float32,
-                 rect: bool = False):
+                 rect: bool = False, device=None):
         from ..utils.checkpoint import load_params
         if path.endswith(".npz"):
             tree = load_params(path)
@@ -479,6 +479,8 @@ class YoloDetector:
             self.params = jax.tree.map(jnp.asarray, self.params)
         else:
             raise ValueError(f"unsupported YOLO checkpoint: {path}")
+        if device is not None:
+            self.params = jax.device_put(self.params, device)
         self.spec = YoloSpec(scale=scale, nc=nc)
         self.imgsz = int(imgsz)
         self.classes = None if classes is None else tuple(classes)

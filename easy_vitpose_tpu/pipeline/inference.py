@@ -65,7 +65,19 @@ class VitInference:
         self.is_video = is_video
         self.single_pose = single_pose
         self.max_people = max_people
-        self.device = device  # informational; JAX picks the backend
+        # Reference auto-picks cuda->mps->cpu (inference.py:94-101); the JAX
+        # default backend order (tpu else cpu) is the TPU-native analog, so
+        # device=None keeps it. An explicit platform name ('tpu'|'cpu')
+        # commits the params there and computation follows them.
+        self.device = device
+        self._jax_device = None
+        if device is not None:
+            try:
+                self._jax_device = jax.devices(device)[0]
+            except RuntimeError as e:
+                raise ValueError(
+                    f"unknown device {device!r} (expected a JAX platform "
+                    f"name like 'tpu' or 'cpu')") from e
 
         # dataset from filename if not given (reference :123-128)
         if dataset is None:
@@ -112,6 +124,8 @@ class VitInference:
         params = jax.tree.map(jnp.asarray, params)
         if self.compute_dtype == jnp.bfloat16:
             params = cast_params(params, jnp.bfloat16)
+        if self._jax_device is not None:
+            params = jax.device_put(params, self._jax_device)
         self._params = params
 
         # --- detector ---
@@ -120,7 +134,8 @@ class VitInference:
             from ..detect.yolo import YoloDetector
             self._detector = YoloDetector(yolo, imgsz=yolo_size,
                                           classes=self.yolo_classes,
-                                          dtype=self.compute_dtype)
+                                          dtype=self.compute_dtype,
+                                          device=self._jax_device)
 
         self.reset()
 

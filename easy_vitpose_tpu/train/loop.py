@@ -151,7 +151,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 b = {k: v for k, v in batch.items() if k != "meta"}
                 if len(b["images"]) % n_dev:  # pad to device multiple
                     pad = n_dev - len(b["images"]) % n_dev
-                    b = {k: np.concatenate([v, v[:pad]]) for k, v in b.items()}
+                    # tile, don't slice: the tail batch may hold fewer rows
+                    # than the shortfall (e.g. 2 leftover images needing
+                    # pad=6), and v[:pad] would under-pad and crash the
+                    # sharded eval step
+                    reps = -(-pad // len(b["images"])) + 1
+                    b = {k: np.concatenate([v] * reps)[:len(v) + pad]
+                         for k, v in b.items()}
                 vlosses.append(float(eval_step(state,
                                                meshlib.shard_batch(mesh, b))))
             val_loss = float(np.mean(vlosses)) if vlosses else train_loss

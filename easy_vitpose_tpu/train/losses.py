@@ -48,7 +48,7 @@ def joints_ohkm_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
         w = target_weight.reshape(B, K, 1).astype(jnp.float32)
         p = p * w
         t = t * w
-    per_joint = 0.5 * jnp.mean((p - t) ** 2, axis=-1)   # (B, K)
+    per_joint = jnp.mean((p - t) ** 2, axis=-1)   # (B, K)
     top_vals, _ = jax.lax.top_k(per_joint, topk)
     return jnp.mean(jnp.sum(top_vals, axis=1) / topk) * loss_weight
 
@@ -63,10 +63,12 @@ def combined_target_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
     t = target.reshape(B, K, 3, -1).astype(jnp.float32)
     w = target_weight.reshape(B, K, 1).astype(jnp.float32)
     hm_p, hm_t = p[:, :, 0] * w, t[:, :, 0] * w
+    # Each jnp.mean over (B, K, HW) equals (1/K) * sum_j per-joint mean-MSE,
+    # i.e. the reference's sum-over-joints followed by "/ num_joints".
     loss = 0.5 * jnp.mean((hm_p - hm_t) ** 2)
     for i in (1, 2):
         loss += 0.5 * jnp.mean((hm_t * p[:, :, i] - hm_t * t[:, :, i]) ** 2)
-    return loss / K * loss_weight * K / K  # noqa: keep formula explicit
+    return loss * loss_weight
 
 
 def adaptive_wing_loss(pred: jnp.ndarray, target: jnp.ndarray,

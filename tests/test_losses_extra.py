@@ -29,6 +29,56 @@ def test_ohkm_topk_selects_hard_joints():
     assert full > loose  # averaging over easy joints dilutes the loss
 
 
+def test_ohkm_matches_torch_oracle():
+    """Pin reference JointsOHKMMSELoss semantics (mse_loss.py:95-151):
+    per-joint raw mean MSE (no 0.5 factor), top-k sum / k, mean over batch."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    B, K, H, W, topk = 3, 10, 8, 6, 4
+    pred = rng.normal(size=(B, K, H, W)).astype(np.float32)
+    target = rng.normal(size=(B, K, H, W)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (B, K, 1)).astype(np.float32)
+
+    tp = torch.from_numpy(pred).reshape(B, K, -1)
+    tt = torch.from_numpy(target).reshape(B, K, -1)
+    tw = torch.from_numpy(w)
+    per_joint = ((tp * tw - tt * tw) ** 2).mean(dim=2)  # (B, K) raw MSE
+    vals, _ = torch.topk(per_joint, topk, dim=1)
+    ref = (vals.sum(dim=1) / topk).mean().item()
+
+    got = float(L.joints_ohkm_mse_loss(jnp.asarray(pred), jnp.asarray(target),
+                                       jnp.asarray(w), topk=topk))
+    assert abs(got - ref) < 1e-6
+
+
+def test_combined_target_matches_torch_oracle():
+    """Pin reference CombinedTargetMSELoss semantics (mse_loss.py:47-93):
+    sum over joints of 0.5*(hm MSE + gated offset MSEs), divided by K once."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    B, K, H, W = 2, 5, 8, 6
+    pred = rng.normal(size=(B, 3 * K, H, W)).astype(np.float32)
+    target = rng.normal(size=(B, 3 * K, H, W)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (B, K, 1)).astype(np.float32)
+
+    tp = torch.from_numpy(pred).reshape(B, 3 * K, -1)
+    tt = torch.from_numpy(target).reshape(B, 3 * K, -1)
+    tw = torch.from_numpy(w)
+    mse = torch.nn.MSELoss(reduction="mean")
+    ref = 0.0
+    for j in range(K):
+        hp, ht = tp[:, 3 * j] * tw[:, j], tt[:, 3 * j] * tw[:, j]
+        ref = ref + 0.5 * mse(hp, ht)
+        for c in (1, 2):
+            ref = ref + 0.5 * mse(ht * tp[:, 3 * j + c],
+                                  ht * tt[:, 3 * j + c])
+    ref = (ref / K).item()
+
+    got = float(L.combined_target_mse_loss(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(w)))
+    assert abs(got - ref) < 1e-5
+
+
 def test_ae_grouping_pull_push():
     # two people with distinct tags -> near-zero pull, small push
     HW = 100

@@ -90,6 +90,34 @@ def test_train_two_epochs_loss_decreases(coco_dir, tmp_path):
     assert os.path.exists(str(tmp_path / "run" / "last.npz"))
 
 
+class _Subset:
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.ds[i]
+
+
+def test_val_tail_batch_smaller_than_pad(coco_dir, tmp_path):
+    """Tail batch with fewer rows than the device-multiple shortfall must be
+    tiled, not sliced: 10 val items @ batch 8 on the 8-device mesh leaves a
+    2-row tail needing pad=6 (v[:6] of a 2-row array would under-pad and
+    crash the sharded eval step)."""
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    settings = TrainSettings(lr=1e-3, total_epochs=1, batch_size=8,
+                             use_amp=False, save_interval=0,
+                             ckpt_topk_epoch=0,
+                             work_dir=str(tmp_path / "run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    val = _Subset(CocoPoseDataset(coco_dir, "train2017", is_train=False), 10)
+    out = train_model(params, cfg, ds, val, settings, log=lambda s: None)
+    assert np.isfinite(out["history"][0]["val_loss"])
+
+
 def test_partial_resume_drops_mismatched_head():
     cfg17 = CASES["tiny"]
     params17 = init_vitpose_params(jax.random.PRNGKey(0), cfg17)
