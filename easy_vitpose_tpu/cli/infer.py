@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-img", action="store_true")
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--conf-threshold", type=float, default=0.5)
+    p.add_argument("--fixed-slots", type=int, default=None,
+                   help="pin the pose-batch slot count to one compiled "
+                        "shape (video defaults to grow-only high-water "
+                        "bucketing already)")
+    p.add_argument("--device", default=None,
+                   help="JAX platform to run on ('tpu'|'cpu'); default "
+                        "auto-picks like the reference's cuda->mps->cpu")
     return p
 
 
@@ -64,7 +71,8 @@ def run_one(args, input_path: str) -> None:
                          det_class=args.det_class, dataset=args.dataset,
                          yolo_size=args.yolo_size, is_video=is_video,
                          single_pose=args.single_pose,
-                         yolo_step=args.yolo_step, dtype=args.dtype)
+                         yolo_step=args.yolo_step, dtype=args.dtype,
+                         fixed_slots=args.fixed_slots, device=args.device)
     print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
           f"dtype={args.dtype})")
 

@@ -55,7 +55,8 @@ class VitInference:
                  dtype: str = "fp32",
                  max_people: int = 64,
                  model_cfg=None,
-                 flip_test: bool = False):
+                 flip_test: bool = False,
+                 fixed_slots: Optional[int] = None):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -65,6 +66,20 @@ class VitInference:
         self.is_video = is_video
         self.single_pose = single_pose
         self.max_people = max_people
+        # Serving shape policy. Bucket flapping (person count crossing a
+        # power of two) retriggers XLA compilation of the pose program
+        # mid-stream (~10 s for ViT-H) — the failure mode stream.py:118-124
+        # fixes with ONE compiled shape. Here:
+        #   * fixed_slots=N pins the slot count outright;
+        #   * video mode defaults to grow-only high-water bucketing: the
+        #     slot count only ever ratchets up, so fluctuating person counts
+        #     never flap between compiled shapes;
+        #   * image mode keeps plain power-of-two bucketing.
+        if fixed_slots is not None:
+            assert 0 < fixed_slots <= max_people, \
+                f"fixed_slots must be in 1..max_people, got {fixed_slots}"
+        self.fixed_slots = fixed_slots
+        self._slots_highwater = 0
         # Reference auto-picks cuda->mps->cpu (inference.py:94-101); the JAX
         # default backend order (tpu else cpu) is the TPU-native analog, so
         # device=None keeps it. An explicit platform name ('tpu'|'cpu')
@@ -156,6 +171,9 @@ class VitInference:
         self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
                             iou_threshold=0.3) if use_tracker else None
         self.frame_counter = 0
+        # new video, new high-water mark (shrinking is free: previously
+        # compiled shapes stay in the jit cache)
+        self._slots_highwater = 0
 
     @classmethod
     def postprocess(cls, heatmaps: np.ndarray, org_w: int, org_h: int
@@ -211,9 +229,11 @@ class VitInference:
             res_pd = res_pd[keep]
             ids = res_pd[:, 5].astype(int).tolist()
 
-        # cap at max_people, keeping the highest-scored boxes
-        if len(res_pd) > self.max_people:
-            order = np.argsort(-res_pd[:, 4], kind="stable")[:self.max_people]
+        # cap at max_people (or the pinned slot count), keeping the
+        # highest-scored boxes
+        cap = self.fixed_slots or self.max_people
+        if len(res_pd) > cap:
+            order = np.argsort(-res_pd[:, 4], kind="stable")[:cap]
             res_pd = res_pd[order]
             if ids is not None:
                 ids = [ids[i] for i in order]
@@ -227,7 +247,15 @@ class VitInference:
         scores_bbox: Dict[Any, float] = {}
         n = len(bboxes_i)
         if n:
-            M = bucket_slots(n, max_slots=self.max_people)
+            if self.fixed_slots is not None:
+                M = self.fixed_slots
+            elif self.is_video:
+                self._slots_highwater = max(
+                    self._slots_highwater,
+                    bucket_slots(n, max_slots=self.max_people))
+                M = self._slots_highwater
+            else:
+                M = bucket_slots(n, max_slots=self.max_people)
             boxes_p = np.zeros((M, 4), np.float32)
             boxes_p[:n] = res_pd[:n, :4]
             mask = np.zeros((M,), bool)
