@@ -93,8 +93,10 @@ class CocoKeypointEval:
             return None
         gt_ignore = []
         for g in gts:
-            ig = g["ignore"] or not (area_rng[0] <= g.get("area", 0)
-                                     < area_rng[1])
+            # pycocotools: ignore iff area < lo or area > hi — BOTH range
+            # ends inclusive (area == 96^2 counts as medium AND large)
+            a = g.get("area", 0)
+            ig = g["ignore"] or a < area_rng[0] or a > area_rng[1]
             gt_ignore.append(ig)
         # sort gts: non-ignored first (COCOeval convention)
         order = np.argsort([int(i) for i in gt_ignore], kind="stable")
@@ -138,7 +140,7 @@ class CocoKeypointEval:
         # unmatched dts falling outside the area range are ignored too
         dt_areas = np.array(
             [d.get("area", _kpt_area(d)) for d in dts]) if D else np.zeros(0)
-        out_of_rng = (dt_areas < area_rng[0]) | (dt_areas >= area_rng[1])
+        out_of_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
         dt_ig = dt_ig | ((dt_match == 0) & out_of_rng[None, :])
         return {
             "dt_scores": np.array([d["score"] for d in dts]),
@@ -212,10 +214,12 @@ class CocoKeypointEval:
 
 
 def _kpt_area(det: dict) -> float:
+    """Detection area the way pycocotools loadRes computes it for keypoint
+    results: bbox extent over ALL keypoints (no visibility filter, no
+    floor)."""
     k = np.asarray(det["keypoints"], np.float64).reshape(-1, 3)
-    sel = k[:, 2] > 0 if (k[:, 2] > 0).any() else np.ones(len(k), bool)
-    x, y = k[sel, 0], k[sel, 1]
-    return float(max(x.max() - x.min(), 1) * max(y.max() - y.min(), 1))
+    x, y = k[:, 0], k[:, 1]
+    return float((x.max() - x.min()) * (y.max() - y.min()))
 
 
 def evaluate_results_file(gt_path: str, results_path: str,
