@@ -129,7 +129,8 @@ def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
 def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
                 *, train: bool = False, rng: Optional[jax.Array] = None,
                 unroll: bool = False, remat: bool = False,
-                attn_impl: str = "einsum") -> jnp.ndarray:
+                attn_impl: str = "einsum",
+                block_impl: str = "xla") -> jnp.ndarray:
     """Run the backbone.
 
     Args:
@@ -141,6 +142,10 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
       unroll: python-unroll the block stack instead of lax.scan.
       remat: rematerialize each block's activations in the backward pass
         (jax.checkpoint) — trades FLOPs for HBM when training L/H sizes.
+      block_impl: 'xla' (default) composes LN/attention/MLP as XLA ops;
+        'pallas' runs the whole block in one fused VMEM kernel
+        (models/fused_block.py — serving only, no drop-path);
+        'pallas_interpret' is the same kernel in interpreter mode (CPU tests).
 
     Returns:
       (B, Hp, Wp, D) feature map, NHWC.
@@ -164,10 +169,19 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
     else:
         masks = None
 
+    use_pallas = block_impl in ("pallas", "pallas_interpret")
+    if use_pallas:
+        assert not use_dp, "fused block is a serving path (no drop-path)"
+        from .fused_block import fused_block
+
     def body(carry, layer):
         p, mask = (layer, None) if masks is None else layer
-        out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask,
-                    attn_impl=attn_impl)
+        if use_pallas:
+            out = fused_block(carry, p, cfg,
+                              interpret=(block_impl == "pallas_interpret"))
+        else:
+            out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask,
+                        attn_impl=attn_impl)
         return out, None
 
     if remat:

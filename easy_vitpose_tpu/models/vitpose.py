@@ -22,10 +22,12 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                     *, train: bool = False,
                     rng: Optional[jax.Array] = None,
                     attn_impl: str = "einsum",
-                    unroll: bool = False) -> jnp.ndarray:
+                    unroll: bool = False,
+                    block_impl: str = "xla") -> jnp.ndarray:
     """(B, 256, 192, 3) normalized NHWC crops -> (B, K, 64, 48) heatmaps."""
     feats = vit_forward(params["backbone"], x, cfg.backbone, train=train,
-                        rng=rng, attn_impl=attn_impl, unroll=unroll)
+                        rng=rng, attn_impl=attn_impl, unroll=unroll,
+                        block_impl=block_impl)
     heat, _ = head_forward(params["head"], feats, cfg.head, train=False)
     return jnp.transpose(heat, (0, 3, 1, 2))
 

@@ -35,7 +35,8 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
               mask: jnp.ndarray, cfg: ModelConfig,
               *, compute_dtype=jnp.float32, modulate_kernel: int = 11,
               y_bounds=None, flip_pairs=None, attn_impl: str = "einsum",
-              unroll: bool = False, sampler: str = "gather") -> jnp.ndarray:
+              unroll: bool = False, sampler: str = "gather",
+              block_impl: str = "xla") -> jnp.ndarray:
     """Run pose estimation for up to M people on one frame.
 
     Args:
@@ -58,15 +59,16 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
     crops = sample_fn(frame, geo, IMAGE_SIZE, sample_dtype=compute_dtype)
     x = normalize_crops(crops, dtype=compute_dtype)
     heatmaps = vitpose_forward(params, x, cfg, attn_impl=attn_impl,
-                               unroll=unroll).astype(jnp.float32)
+                               unroll=unroll,
+                               block_impl=block_impl).astype(jnp.float32)
     if flip_pairs is not None:
         # flip-test averaging (the reference configs declare flip_test=True
         # but its inference never wires it; mmpose semantics: forward the
         # horizontally flipped crop, un-flip the heatmaps, average)
         from ..ops.affine import flip_back_heatmaps
         hm_f = vitpose_forward(params, x[:, :, ::-1, :], cfg,
-                               attn_impl=attn_impl,
-                               unroll=unroll).astype(jnp.float32)
+                               attn_impl=attn_impl, unroll=unroll,
+                               block_impl=block_impl).astype(jnp.float32)
         heatmaps = 0.5 * (heatmaps + flip_back_heatmaps(hm_f, flip_pairs))
 
     # decode with the padded-crop center/scale, exactly like
@@ -88,16 +90,18 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
                                              "modulate_kernel", "flip_pairs",
-                                             "attn_impl", "unroll", "sampler"))
+                                             "attn_impl", "unroll", "sampler",
+                                             "block_impl"))
 def pose_step_jit(params, frame, boxes, mask, cfg: ModelConfig,
                   compute_dtype=jnp.float32, modulate_kernel: int = 11,
                   flip_pairs=None, attn_impl: str = "einsum",
-                  unroll: bool = False, sampler: str = "gather"):
+                  unroll: bool = False, sampler: str = "gather",
+                  block_impl: str = "xla"):
     return pose_step(params, frame, boxes, mask, cfg,
                      compute_dtype=compute_dtype,
                      modulate_kernel=modulate_kernel,
                      flip_pairs=flip_pairs, attn_impl=attn_impl,
-                     unroll=unroll, sampler=sampler)
+                     unroll=unroll, sampler=sampler, block_impl=block_impl)
 
 
 def bucket_slots(n: int, min_slots: int = 1, max_slots: int = 64) -> int:
