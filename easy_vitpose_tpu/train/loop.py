@@ -43,6 +43,7 @@ class TrainSettings:
     work_dir: str = "runs/train/exp"
     save_full_state: bool = False     # orbax train-state dirs for exact resume
     resume_state_dir: str = ""        # restore a full train state
+    tensorboard: bool = True          # scalar event files under work_dir/tb
 
 
 class PlateauScheduler:
@@ -116,6 +117,16 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     best_val = float("inf")
     patience = 0
 
+    # TensorBoard scalars (SURVEY §5 observability; the reference only uses
+    # TB for image grids and never wires scalars). Master-only, optional dep.
+    tb = None
+    if settings.tensorboard and meshlib.is_main_process():
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(os.path.join(settings.work_dir, "tb"))
+        except ImportError:  # pragma: no cover
+            log("tensorboard writer unavailable; scalars disabled")
+
     log(f"#== train: {n_dev} device(s), batch {settings.batch_size}, "
         f"lr {settings.lr}, amp {settings.use_amp}, "
         f"{sum(x.size for x in jax.tree.leaves(params)):,d} params ==#")
@@ -125,6 +136,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         losses = []
         it = batch_iterator(train_ds, settings.batch_size, shuffle=True,
                             seed=settings.seed + epoch)
+        gnorms = []
         for bi, batch in enumerate(it):
             rng, key = jax.random.split(rng)
             dev_batch = meshlib.shard_batch(mesh, {
@@ -132,6 +144,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             state, metrics = train_step(state, dev_batch,
                                         meshlib.replicate(mesh, key))
             losses.append(metrics["loss"])
+            gnorms.append(metrics.get("grad_norm"))
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
             else float("nan")
         if losses and not np.isfinite(train_loss):
@@ -171,6 +184,15 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                         "val_loss": val_loss, "lr": new_lr, "seconds": dt})
         log(f"[ep {epoch:03d}] train {train_loss:.5f}  val {val_loss:.5f}  "
             f"lr {new_lr:.2e}  ({dt:.1f}s)")
+        if tb is not None:
+            tb.add_scalar("loss/train", train_loss, epoch)
+            tb.add_scalar("loss/val", val_loss, epoch)
+            tb.add_scalar("lr", new_lr, epoch)
+            gn = [float(g) for g in gnorms if g is not None]
+            if gn:
+                tb.add_scalar("grad_norm", float(np.mean(gn)), epoch)
+            tb.add_scalar("epoch_seconds", dt, epoch)
+            tb.flush()
 
         serving = steplib.merge_bn_state(
             jax.tree.map(np.asarray, state["params"]),
@@ -196,6 +218,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                         f"(no val improvement for {patience})")
                     break
 
+    if tb is not None:
+        tb.close()
     final = steplib.merge_bn_state(
         jax.tree.map(np.asarray, state["params"]),
         jax.tree.map(np.asarray, state["bn_state"]))
