@@ -38,7 +38,8 @@ def main():
     from easy_vitpose_tpu.configs import get_model_config
     from easy_vitpose_tpu.models.vitpose import (cast_params,
                                                  init_vitpose_params)
-    from easy_vitpose_tpu.pipeline.pose_step import pose_step_jit
+    from easy_vitpose_tpu.pipeline.pose_step import (default_block_impl,
+                                                     pose_step_jit)
 
     cfg = get_model_config("coco", args.size)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -56,6 +57,8 @@ def main():
         .astype(np.float32))
     mask = jnp.ones((M,), bool)
 
+    block_impl = default_block_impl()  # fused Pallas block on TPU
+
     def chain(n):
         b = boxes
         out = None
@@ -63,7 +66,7 @@ def main():
             out = pose_step_jit(params, frames[i % len(frames)], b, mask,
                                 cfg, compute_dtype=dtype,
                                 sampler="matmul" if dtype == jnp.bfloat16
-                                else "gather")
+                                else "gather", block_impl=block_impl)
             b = boxes + 0.0 * out[0, 0, 0]
         return float(out[0, 0, 0])  # single fetch = hard sync
 

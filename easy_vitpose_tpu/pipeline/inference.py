@@ -136,6 +136,8 @@ class VitInference:
         # f32 bit-parity path (see ops/preprocess.py)
         self._sampler = ("matmul" if self.compute_dtype == jnp.bfloat16
                          else "gather")
+        from .pose_step import default_block_impl
+        self._block_impl = default_block_impl(self._jax_device)
         params = jax.tree.map(jnp.asarray, params)
         if self.compute_dtype == jnp.bfloat16:
             params = cast_params(params, jnp.bfloat16)
@@ -264,7 +266,8 @@ class VitInference:
                                 jnp.asarray(boxes_p), jnp.asarray(mask),
                                 self.cfg, compute_dtype=self.compute_dtype,
                                 flip_pairs=self._flip_pairs,
-                                sampler=self._sampler)
+                                sampler=self._sampler,
+                                block_impl=self._block_impl)
             out = np.asarray(out)
             for i, (pid, score) in enumerate(zip(ids, scores)):
                 frame_keypoints[pid] = out[i]

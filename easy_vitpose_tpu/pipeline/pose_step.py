@@ -104,6 +104,15 @@ def pose_step_jit(params, frame, boxes, mask, cfg: ModelConfig,
                      unroll=unroll, sampler=sampler, block_impl=block_impl)
 
 
+def default_block_impl(device=None) -> str:
+    """Serving default for the transformer-block implementation: the fused
+    Pallas kernel on TPU (A/B: ViT-B/64 27.2 -> 21.9 ms/frame, PERF.md),
+    plain XLA elsewhere (Mosaic kernels don't compile on CPU)."""
+    import jax
+    platform = device.platform if device is not None else jax.default_backend()
+    return "pallas" if platform == "tpu" else "xla"
+
+
 def bucket_slots(n: int, min_slots: int = 1, max_slots: int = 64) -> int:
     """Static person-slot count for n detections: next power of two, so the
     number of distinct compiled programs stays logarithmic."""

@@ -23,9 +23,10 @@ from .pose_step import pose_step
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
+                                             "block_impl"))
 def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16, block_impl: str = "xla"):
     """Pose over crops drawn from a STACK of frames.
 
     frames: (S, H, W, 3); boxes: (M, 4); frame_idx: (M,) which stream-frame
@@ -43,7 +44,8 @@ def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
     # boundaries (matches the reference's clip-at-frame-edge behaviour)
     y_bounds = jnp.stack([frame_idx * H, frame_idx * H + H], axis=-1)
     out = pose_step(params, tall, boxes_off, mask, cfg,
-                    compute_dtype=compute_dtype, y_bounds=y_bounds)
+                    compute_dtype=compute_dtype, y_bounds=y_bounds,
+                    block_impl=block_impl)
     return out.at[..., 0].add(-off[:, None] * mask[:, None].astype(jnp.float32))
 
 
@@ -70,6 +72,8 @@ class MultiStreamPose:
                               min_hits=3 if yolo_step == 1 else 1,
                               iou_threshold=0.3) for _ in range(n_streams)]
         self.frame_counter = 0
+        from .pose_step import default_block_impl
+        self.block_impl = default_block_impl()
 
     def step(self, frames: Sequence[np.ndarray],
              boxes_per_stream: Optional[List[np.ndarray]] = None
@@ -132,7 +136,8 @@ class MultiStreamPose:
         out = _pose_multi_frame(self.params, frames_dev,
                                 jnp.asarray(boxes), jnp.asarray(fidx),
                                 jnp.asarray(mask), self.cfg,
-                                compute_dtype=self.dtype)
+                                compute_dtype=self.dtype,
+                                block_impl=self.block_impl)
         out = np.asarray(out)
         for i in range(nb):
             results[stream_of[i]][all_ids[i]] = out[i]
