@@ -98,6 +98,86 @@ def test_ae_grouping_pull_push():
     assert abs(float(push2) - 0.5) < 1e-6
 
 
+def test_wing_family_matches_torch_oracle():
+    """Pin reference WingLoss/SoftWingLoss semantics
+    (regression_loss.py:44-99, :122-196): weight multiplies the INPUTS,
+    reduction is per-sample sum over (K, D) then batch mean."""
+    torch = pytest.importorskip("torch")
+    import math
+    rng = np.random.default_rng(3)
+    B, K, D = 4, 17, 2
+    p = rng.normal(0, 5, (B, K, D)).astype(np.float32)
+    t = rng.normal(0, 5, (B, K, D)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (B, K, D)).astype(np.float32)
+
+    tp, tt = torch.from_numpy(p * w), torch.from_numpy(t * w)
+    # wing (omega=10, eps=2)
+    dlt = (tt - tp).abs()
+    C = 10.0 - 10.0 * math.log(1.0 + 10.0 / 2.0)
+    wl = torch.where(dlt < 10.0, 10.0 * torch.log(1 + dlt / 2.0), dlt - C)
+    ref_w = torch.mean(torch.sum(wl, dim=[1, 2])).item()
+    got_w = float(L.wing_loss(jnp.asarray(p), jnp.asarray(t), jnp.asarray(w)))
+    assert abs(got_w - ref_w) < 1e-4 * max(1, abs(ref_w))
+    # soft wing (omega1=2, omega2=20, eps=0.5)
+    Bc = 2.0 - 20.0 * math.log(1.0 + 2.0 / 0.5)
+    sl = torch.where(dlt < 2.0, dlt, 20.0 * torch.log(1 + dlt / 0.5) + Bc)
+    ref_s = torch.mean(torch.sum(sl, dim=[1, 2])).item()
+    got_s = float(L.soft_wing_loss(jnp.asarray(p), jnp.asarray(t),
+                                   jnp.asarray(w)))
+    assert abs(got_s - ref_s) < 1e-4 * max(1, abs(ref_s))
+    # mpjpe: weight inside the norm
+    ref_m = torch.mean(torch.norm(torch.from_numpy((p - t) * w), dim=-1)).item()
+    got_m = float(L.mpjpe_loss(jnp.asarray(p), jnp.asarray(t), jnp.asarray(w)))
+    assert abs(got_m - ref_m) < 1e-5
+
+
+def test_bone_loss_matches_torch_oracle():
+    """Pin reference BoneLoss (regression_loss.py:303-355)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    B, K = 5, 6
+    parents = [0, 0, 1, 2, 0, 4]  # joint 0 is root
+    p = rng.normal(size=(B, K, 3)).astype(np.float32)
+    t = rng.normal(size=(B, K, 3)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (B, K - 1)).astype(np.float32)
+
+    non_root = [i for i in range(K) if parents[i] != i]
+    tp, tt = torch.from_numpy(p), torch.from_numpy(t)
+    ob = torch.norm(tp - tp[:, parents], dim=-1)[:, non_root]
+    tb = torch.norm(tt - tt[:, parents], dim=-1)[:, non_root]
+    tw = torch.from_numpy(w)
+    ref = torch.mean(torch.abs((ob * tw).mean(0) - (tb * tw).mean(0))).item()
+    got = float(L.bone_loss(jnp.asarray(p), jnp.asarray(t), parents,
+                            jnp.asarray(w)))
+    assert abs(got - ref) < 1e-6
+
+
+def test_semi_supervision_projection():
+    """project_joints reproduces the reference's distorted pinhole camera
+    (regression_loss.py:391-416); semi_supervision_loss returns finite
+    proj/bone losses and zero for a perfect projection."""
+    rng = np.random.default_rng(5)
+    B, K = 3, 6
+    pose = rng.normal(0, 0.3, (B, K, 3)).astype(np.float32)
+    pose[..., 2] += 4.0  # in front of the camera
+    traj = np.zeros((B, K, 3), np.float32)
+    intr4 = np.tile(np.array([[1000.0, 1000.0, 320.0, 240.0]],
+                             np.float32), (B, 1))
+    target_2d = np.asarray(L.project_joints(jnp.asarray(pose),
+                                            jnp.asarray(intr4)))
+    parents = [0, 0, 1, 2, 0, 4]
+    out = L.semi_supervision_loss(jnp.asarray(pose), jnp.asarray(pose),
+                                  jnp.asarray(traj), jnp.asarray(target_2d),
+                                  jnp.asarray(intr4), parents)
+    assert float(out["proj_loss"]) < 1e-4
+    assert float(out["bone_loss"]) == 0.0
+    # 9-param intrinsics (with distortion) still finite and different
+    intr9 = np.concatenate([intr4, np.tile(np.array(
+        [[0.1, -0.05, 0.01, 0.001, -0.002]], np.float32), (B, 1))], 1)
+    p9 = np.asarray(L.project_joints(jnp.asarray(pose), jnp.asarray(intr9)))
+    assert np.isfinite(p9).all() and np.abs(p9 - target_2d).max() > 0.01
+
+
 def test_wing_smooth_l1_adaptive_wing_finite():
     rng = np.random.default_rng(0)
     p = rng.normal(size=(2, 17, 2)).astype(np.float32)
