@@ -490,23 +490,39 @@ class YoloDetector:
         self.dtype = dtype
         self.rect = rect
 
+    def detect_batch_async(self, frames):
+        """Dispatch the batched detect program WITHOUT fetching: returns the
+        packed (S, max_det, 7) DEVICE array.  Decode it later with
+        :meth:`unpack_batch` — lets callers overlap detection with other
+        device/host work (pipelined multi-stream serving)."""
+        frames = jnp.asarray(frames)
+        H, W = frames.shape[1:3]
+        geom = letterbox_geometry(H, W, self.imgsz,
+                                  rect=getattr(self, "rect", False))
+        return detect_batch_jit(
+            self.params, frames, geom, self.spec, self.imgsz, self.classes,
+            self.conf, self.iou, self.max_det, self.dtype)
+
+    @staticmethod
+    def unpack_batch(packed: np.ndarray, frame_hw) -> list:
+        """(S, max_det, 7) packed [x1,y1,x2,y2,conf,cls,valid] (fetched) ->
+        list of S (N_s, 6) numpy arrays, clipped to the frame."""
+        H, W = frame_hw
+        out = []
+        for s in range(len(packed)):
+            keep = packed[s, :, 6] > 0
+            rows = np.array(packed[s][keep])
+            rows[:, :4] = np.clip(rows[:, :4], 0, [W, H, W, H])
+            out.append(rows[:, :6])
+        return out
+
     def detect_batch(self, frames) -> list:
         """frames: (S, H, W, 3) uint8 stack (same size) -> list of S
         (N_s, 6) numpy arrays. One fused program, one host fetch."""
         frames = jnp.asarray(frames)
-        S, H, W = frames.shape[:3]
-        geom = letterbox_geometry(H, W, self.imgsz,
-                                  rect=getattr(self, "rect", False))
-        packed = np.asarray(detect_batch_jit(
-            self.params, frames, geom, self.spec, self.imgsz, self.classes,
-            self.conf, self.iou, self.max_det, self.dtype))
-        out = []
-        for s in range(S):
-            keep = packed[s, :, 6] > 0
-            rows = packed[s][keep]
-            rows[:, :4] = np.clip(rows[:, :4], 0, [W, H, W, H])
-            out.append(rows[:, :6])
-        return out
+        H, W = frames.shape[1:3]
+        packed = np.asarray(self.detect_batch_async(frames))
+        return self.unpack_batch(packed, (H, W))
 
     def __call__(self, img, frame_hw=None) -> np.ndarray:
         """img: (H, W, 3) RGB uint8 (numpy or device array) ->

@@ -56,7 +56,8 @@ class VitInference:
                  max_people: int = 64,
                  model_cfg=None,
                  flip_test: bool = False,
-                 fixed_slots: Optional[int] = None):
+                 fixed_slots: Optional[int] = None,
+                 yolo_rect: Optional[bool] = None):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -149,10 +150,18 @@ class VitInference:
         self._detector = None
         if yolo is not None:
             from ..detect.yolo import YoloDetector
+            # video default: rect (minimal-rectangle) letterbox — one
+            # compiled shape per video aspect ratio, ~44% fewer detector
+            # FLOPs on 16:9 (ultralytics predict-mode auto=True equivalent).
+            # image mode keeps the square canvas: one compiled shape for
+            # arbitrary mixed-AR stills (e.g. COCO eval).
+            if yolo_rect is None:
+                yolo_rect = is_video
             self._detector = YoloDetector(yolo, imgsz=yolo_size,
                                           classes=self.yolo_classes,
                                           dtype=self.compute_dtype,
-                                          device=self._jax_device)
+                                          device=self._jax_device,
+                                          rect=yolo_rect)
 
         self.reset()
 

@@ -54,9 +54,18 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
     geo = crop_geometry(boxes, frame.shape[:2], y_bounds=y_bounds)
     # bf16 serving samples crops in bf16 too (error <= the reference's own
     # uint8 resize quantization; halves the sampler's HBM traffic).
-    # sampler='matmul' rides the MXU instead of gathers (~26% faster).
-    sample_fn = sample_crops_matmul if sampler == "matmul" else sample_crops
-    crops = sample_fn(frame, geo, IMAGE_SIZE, sample_dtype=compute_dtype)
+    # sampler='matmul' rides the MXU instead of gathers (~26% faster);
+    # 'pallas'/'pallas_interpret' is the window-streamed kernel
+    # (ops/pallas_sampler.py) that skips out-of-span frame rows.
+    if sampler in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_sampler import sample_crops_pallas
+        crops = sample_crops_pallas(frame, geo, IMAGE_SIZE,
+                                    sample_dtype=compute_dtype,
+                                    interpret=(sampler == "pallas_interpret"))
+    else:
+        sample_fn = (sample_crops_matmul if sampler == "matmul"
+                     else sample_crops)
+        crops = sample_fn(frame, geo, IMAGE_SIZE, sample_dtype=compute_dtype)
     x = normalize_crops(crops, dtype=compute_dtype)
     heatmaps = vitpose_forward(params, x, cfg, attn_impl=attn_impl,
                                unroll=unroll,

@@ -72,37 +72,91 @@ class MultiStreamPose:
                               min_hits=3 if yolo_step == 1 else 1,
                               iou_threshold=0.3) for _ in range(n_streams)]
         self.frame_counter = 0
+        self._pending = None  # (frames_dev, detect handle) of the last tick
         from .pose_step import default_block_impl
         self.block_impl = default_block_impl()
+
+    # ------------------------------------------------------------ plumbing
+
+    def _upload(self, frames):
+        assert len(frames) == self.n
+        return (jnp.asarray(np.stack(frames))
+                if not isinstance(frames, jnp.ndarray) else frames)
+
+    def _dispatch_detect(self, frames_dev):
+        """Dispatch detection for this tick (cadence-gated) WITHOUT fetching.
+        Returns a device handle (batched path), a list of numpy results
+        (per-frame fallback), or None (skipped tick)."""
+        run_det = (self.frame_counter % self.yolo_step == 0
+                   or self.frame_counter < 3)
+        self.frame_counter += 1
+        if not run_det or self.detector is None:
+            return None
+        if hasattr(self.detector, "detect_batch_async"):
+            return self.detector.detect_batch_async(frames_dev)
+        H, W = frames_dev.shape[1:3]
+        return [self.detector(frames_dev[i], frame_hw=(H, W))
+                for i in range(self.n)]
+
+    def _boxes_from_detect(self, det, frame_hw):
+        if det is None:
+            return [np.empty((0, 5), np.float32) for _ in range(self.n)]
+        if not isinstance(det, list):  # packed device array -> fetch here
+            det = self.detector.unpack_batch(np.asarray(det), frame_hw)
+        return [(r[r[:, 4] > 0.35][:, :5] if len(r)
+                 else np.empty((0, 5), np.float32)) for r in det]
 
     def step(self, frames: Sequence[np.ndarray],
              boxes_per_stream: Optional[List[np.ndarray]] = None
              ) -> List[Dict[int, np.ndarray]]:
-        """frames: list of n (H, W, 3) uint8 RGB. Returns per-stream
-        {track_id: (K, 3) (y, x, score)}."""
-        assert len(frames) == self.n
-        H, W = frames[0].shape[:2]
-        # one host->HBM upload per tick, shared by detector and pose
-        frames_dev = jnp.asarray(np.stack(frames)) \
-            if not isinstance(frames, jnp.ndarray) else frames
-
+        """Synchronous tick: frames -> per-stream {track_id: (K, 3)}."""
+        frames_dev = self._upload(frames)
+        H, W = frames_dev.shape[1:3]
         if boxes_per_stream is None:
-            run_det = (self.frame_counter % self.yolo_step == 0
-                       or self.frame_counter < 3)
-            if run_det and self.detector is not None:
-                if hasattr(self.detector, "detect_batch"):
-                    raw = self.detector.detect_batch(frames_dev)
-                else:
-                    raw = [self.detector(frames_dev[i], frame_hw=(H, W))
-                           for i in range(self.n)]
-                boxes_per_stream = [
-                    (r[r[:, 4] > 0.35][:, :5] if len(r)
-                     else np.empty((0, 5), np.float32)) for r in raw]
-            else:
-                boxes_per_stream = [np.empty((0, 5), np.float32)
-                                    for _ in range(self.n)]
-        self.frame_counter += 1
+            boxes_per_stream = self._boxes_from_detect(
+                self._dispatch_detect(frames_dev), (H, W))
+        else:
+            self.frame_counter += 1
+        handle, book = self._track_and_pose(frames_dev, boxes_per_stream)
+        return self._collect(handle, book)
 
+    def step_pipelined(self, frames: Sequence[np.ndarray]
+                       ) -> Optional[List[Dict[int, np.ndarray]]]:
+        """Pipelined tick: returns results for the PREVIOUS frames (None on
+        the first call; call :meth:`flush` for the final tick).
+
+        Ordering hides the tunnel RTTs under device work: fetch detect(t-1)
+        (its compute already overlapped last tick's host time) -> host track
+        -> dispatch pose(t-1) -> dispatch detect(t) -> fetch pose(t-1); the
+        detect(t) program runs while the host waits on the pose fetch and
+        does tracking bookkeeping (VERDICT r1 item 6)."""
+        frames_dev = self._upload(frames)
+        results = None
+        if self._pending is not None:
+            prev_dev, prev_det = self._pending
+            H, W = prev_dev.shape[1:3]
+            boxes = self._boxes_from_detect(prev_det, (H, W))
+            handle, book = self._track_and_pose(prev_dev, boxes)
+            det_t = self._dispatch_detect(frames_dev)  # before pose fetch
+            results = self._collect(handle, book)
+        else:
+            det_t = self._dispatch_detect(frames_dev)
+        self._pending = (frames_dev, det_t)
+        return results
+
+    def flush(self) -> Optional[List[Dict[int, np.ndarray]]]:
+        """Drain the pipeline: process and return the last pending tick."""
+        if self._pending is None:
+            return None
+        prev_dev, prev_det = self._pending
+        self._pending = None
+        H, W = prev_dev.shape[1:3]
+        boxes = self._boxes_from_detect(prev_det, (H, W))
+        handle, book = self._track_and_pose(prev_dev, boxes)
+        return self._collect(handle, book)
+
+    def _track_and_pose(self, frames_dev, boxes_per_stream):
+        H, W = frames_dev.shape[1:3]
         all_boxes, all_ids, all_fidx, stream_of = [], [], [], []
         for si in range(self.n):
             tracked = self.trackers[si].update(boxes_per_stream[si])
@@ -114,9 +168,8 @@ class MultiStreamPose:
                 all_fidx.append(si)
                 stream_of.append(si)
 
-        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
         if not all_boxes:
-            return results
+            return None, (0, stream_of, all_ids)
         nb = len(all_boxes)
         # FIXED slot count: track counts drift tick to tick, and letting the
         # bucket flap between powers of two retriggers XLA compilation of the
@@ -138,7 +191,14 @@ class MultiStreamPose:
                                 jnp.asarray(mask), self.cfg,
                                 compute_dtype=self.dtype,
                                 block_impl=self.block_impl)
-        out = np.asarray(out)
+        return out, (nb, stream_of, all_ids)  # device handle, no fetch yet
+
+    def _collect(self, out_handle, book) -> List[Dict[int, np.ndarray]]:
+        nb, stream_of, all_ids = book
+        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
+        if out_handle is None:
+            return results
+        out = np.asarray(out_handle)
         for i in range(nb):
             results[stream_of[i]][all_ids[i]] = out[i]
         return results

@@ -1,0 +1,119 @@
+"""TPU A/B: multi-stream tick, sync step() vs pipelined step_pipelined().
+
+PERF.md round-1 config: 8 x 720p streams, ViT-H pose + YOLOv8x detector,
+4 tracked people/stream, detection every tick -> 187 ms/tick sync, of which
+~54 ms was two sequential tunnel RTTs (detect fetch -> host track -> pose
+dispatch -> pose fetch).  The pipelined tick dispatches detect(t) before
+fetching pose(t-1), hiding host work and one RTT under device work.
+
+Usage: python scripts/bench_multistream.py [--ticks 20] [--size h] [--yolo x]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=20)
+    ap.add_argument("--size", default="h", choices=["s", "b", "l", "h"])
+    ap.add_argument("--yolo", default="x", choices=["n", "s", "m", "l", "x"])
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--pp", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.detect import yolo as Y
+    from easy_vitpose_tpu.models.vitpose import (cast_params,
+                                                 init_vitpose_params)
+    from easy_vitpose_tpu.pipeline.stream import MultiStreamPose
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = get_model_config("coco", args.size)
+    params = cast_params(init_vitpose_params(jax.random.PRNGKey(0), cfg),
+                         jnp.bfloat16)
+
+    class Det:
+        """YoloDetector protocol over random-init weights (perf is
+        weight-independent)."""
+
+        def __init__(self, scale):
+            self.inner = Y.YoloDetector.__new__(Y.YoloDetector)
+            self.inner.params = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16),
+                Y.init_yolo_params(jax.random.PRNGKey(1), Y.YoloSpec(scale)))
+            self.inner.spec = Y.YoloSpec(scale)
+            self.inner.imgsz = 640
+            self.inner.classes = (0,)
+            self.inner.conf = 0.25
+            self.inner.iou = 0.7
+            self.inner.max_det = 32
+            self.inner.dtype = jnp.bfloat16
+            self.inner.rect = True
+
+        def detect_batch_async(self, frames):
+            return self.inner.detect_batch_async(frames)
+
+        @staticmethod
+        def unpack_batch(packed, hw):
+            return Y.YoloDetector.unpack_batch(packed, hw)
+
+    det = Det(args.yolo)
+    rng = np.random.default_rng(0)
+    S, H, W = args.streams, 720, 1280
+    # upload ONCE and reuse: per-tick 22 MB uploads through the dev tunnel
+    # dominate the tick (~1.4 s) and don't represent direct-attached IO
+    frames = jnp.asarray(rng.integers(0, 255, (S, H, W, 3), np.uint8))
+    # fixed boxes via a stub tracker seed: let detection drive (random
+    # weights detect garbage, but the tick cost is shape-driven)
+    ms_sync = MultiStreamPose(params, cfg, detector=det, n_streams=S,
+                              yolo_step=1, max_people_per_stream=args.pp)
+    ms_pipe = MultiStreamPose(params, cfg, detector=det, n_streams=S,
+                              yolo_step=1, max_people_per_stream=args.pp)
+    # seed trackers with synthetic boxes so the pose batch is full
+    boxes = [np.stack([rng.uniform(0, W - 300, args.pp),
+                       rng.uniform(0, H - 300, args.pp),
+                       rng.uniform(300, W, args.pp),
+                       rng.uniform(300, H, args.pp),
+                       np.full(args.pp, 0.9)], -1).astype(np.float32)
+             for _ in range(S)]
+
+    # warmup/compile both paths
+    ms_sync.step(frames, [b.copy() for b in boxes])
+    ms_sync.step(frames)
+    ms_pipe.step_pipelined(frames)
+    ms_pipe.step_pipelined(frames)
+    ms_pipe.flush()
+    ms_pipe._pending = None
+
+    results = {}
+    for name, fn in (("sync", lambda: ms_sync.step(frames)),
+                     ("pipelined", lambda: ms_pipe.step_pipelined(frames))):
+        # refill trackers so slot occupancy matches
+        for ms in (ms_sync, ms_pipe):
+            for tr, b in zip(ms.trackers, boxes):
+                tr.update(b.copy())
+        t0 = time.perf_counter()
+        for _ in range(args.ticks):
+            fn()
+        if name == "pipelined":
+            ms_pipe.flush()
+        dt = (time.perf_counter() - t0) / args.ticks * 1e3
+        results[name] = round(dt, 1)
+        print(f"{name}: {dt:.1f} ms/tick "
+              f"({S / dt * 1e3:.1f} stream-fps)", flush=True)
+
+    results["speedup"] = round(results["sync"] / results["pipelined"], 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

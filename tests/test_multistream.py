@@ -84,3 +84,58 @@ def test_detect_batch_matches_single():
     for b, s in zip(batched, singles):
         assert b.shape == s.shape
         np.testing.assert_allclose(b, s, atol=1e-3)
+
+
+class _StubDetector:
+    """Deterministic batched detector stub with the async/unpack protocol."""
+
+    def __init__(self, boxes_per_stream):
+        self.boxes = boxes_per_stream  # list of (N, 6) per stream
+
+    def detect_batch_async(self, frames_dev):
+        import jax.numpy as jnp
+        mx = max(len(b) for b in self.boxes)
+        packed = np.zeros((len(self.boxes), mx, 7), np.float32)
+        for s, b in enumerate(self.boxes):
+            packed[s, :len(b), :6] = b
+            packed[s, :len(b), 6] = 1.0
+        return jnp.asarray(packed)  # device array, not fetched
+
+    @staticmethod
+    def unpack_batch(packed, frame_hw):
+        from easy_vitpose_tpu.detect.yolo import YoloDetector
+        return YoloDetector.unpack_batch(packed, frame_hw)
+
+
+def test_pipelined_matches_sync(tiny_params):
+    """step_pipelined must produce the sync step()'s results, one tick late
+    (VERDICT r1 item 6: detect(t) dispatched before pose(t-1) is fetched)."""
+    cfg = CASES["tiny"]
+    det_boxes = [
+        np.array([[30, 20, 120, 170, 0.9, 0]], np.float32),
+        np.array([[100, 10, 240, 180, 0.8, 0],
+                  [5, 5, 80, 150, 0.7, 0]], np.float32)]
+
+    def make():
+        return MultiStreamPose(tiny_params, cfg,
+                               detector=_StubDetector(det_boxes),
+                               n_streams=2, yolo_step=1,
+                               compute_dtype=jnp.float32)
+
+    frames_seq = [[_frame(0), _frame(5)], [_frame(1), _frame(6)],
+                  [_frame(2), _frame(7)]]
+    sync = make()
+    ref = [sync.step(f) for f in frames_seq]
+
+    pipe = make()
+    got = [pipe.step_pipelined(f) for f in frames_seq]
+    assert got[0] is None
+    got = got[1:] + [pipe.flush()]
+
+    for t in range(len(frames_seq)):
+        assert set(ref[t][0]) == set(got[t][0])
+        assert set(ref[t][1]) == set(got[t][1])
+        for s in range(2):
+            for tid in ref[t][s]:
+                np.testing.assert_allclose(got[t][s][tid], ref[t][s][tid],
+                                           atol=1e-5)

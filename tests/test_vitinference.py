@@ -170,3 +170,21 @@ def test_fixed_slots_pins_shape_and_caps(ckpt_npz):
     with pytest.raises(AssertionError):
         VitInference(ckpt_npz, model_name="s", model_cfg=CASES["tiny"],
                      fixed_slots=999)
+
+
+def test_yolo_rect_default_follows_video_mode(ckpt_npz, yolo_npz):
+    """Video serving defaults to rect (minimal-rectangle) letterbox — one
+    compiled shape per video AR, ~44% fewer detector FLOPs on 16:9; image
+    mode keeps the square canvas (one shape for mixed-AR stills)."""
+    v = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                     model_cfg=CASES["tiny"], is_video=True)
+    s = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                     model_cfg=CASES["tiny"], is_video=False)
+    o = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                     model_cfg=CASES["tiny"], is_video=True, yolo_rect=False)
+    assert v._detector.rect is True
+    assert s._detector.rect is False
+    assert o._detector.rect is False
+    # and the rect detector actually runs end-to-end in the video loop
+    out = v.inference(_frame())
+    assert isinstance(out, dict)
