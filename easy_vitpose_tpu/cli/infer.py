@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", default=None,
                    help="JAX platform to run on ('tpu'|'cpu'); default "
                         "auto-picks like the reference's cuda->mps->cpu")
+    p.add_argument("--target-fps", type=float, default=None,
+                   help="auto-tune yolo_step to hold this FPS on live/video "
+                        "input (detection cadence is the elastic cost; the "
+                        "tracker coasts between detections)")
     return p
 
 
@@ -93,11 +97,24 @@ def run_one(args, input_path: str) -> None:
     save_media = (args.save_img or args.show) or bool(args.output_path)
     base = os.path.splitext(os.path.basename(str(input_path)))[0]
 
+    tuner = None
+    if args.target_fps and is_video:
+        from ..pipeline.autotune import YoloStepAutoTuner
+        tuner = YoloStepAutoTuner(args.target_fps,
+                                  min_step=args.yolo_step)
+
     for i, frame in enumerate(frames):
         t0 = time.perf_counter()
         kpts = model.inference(frame)
         dt = time.perf_counter() - t0
         fps_hist.append(1.0 / max(dt, 1e-9))
+        if tuner is not None and i >= 3:  # skip compile frames
+            new_step = tuner.update(dt)
+            if new_step != model.yolo_step:
+                print(f">>> auto-tune: yolo_step -> {new_step} "
+                      f"(ema {1.0 / max(tuner._avg_dt, 1e-9):.1f} fps, "
+                      f"target {args.target_fps})")
+                model.set_yolo_step(new_step)
         if args.save_json:
             keypoints_log.append({str(k): v for k, v in kpts.items()})
         if save_media:

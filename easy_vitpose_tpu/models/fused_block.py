@@ -101,7 +101,7 @@ def _block_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
 
 
 def fused_block(x: jnp.ndarray, p, cfg: BackboneConfig, *,
-                crops_per_step: int = 4, interpret: bool = False
+                crops_per_step: int = None, interpret: bool = False
                 ) -> jnp.ndarray:
     """One transformer block over (B, N, D) tokens via the fused kernel.
 
@@ -109,11 +109,19 @@ def fused_block(x: jnp.ndarray, p, cfg: BackboneConfig, *,
       x: (B, N, D) tokens (bf16 serving or f32 parity).
       p: one layer's params dict (un-stacked leaves of params["blocks"]).
       crops_per_step: G crops per grid step (B is padded to a multiple).
+        Default (None) is size-dependent from TPU sweeps
+        (scripts/bench_block_gsize.py + bench_detector_sizes.py): G=2 for
+        D<=768 (ViT-B/64 backbone 16.2 ms vs 18.1 at G=4 — small tiles
+        pipeline the token DMAs under compute best; headline bench
+        3016 -> 3160 crops/s) and G=4 for ViT-L/H (bigger weights want
+        bigger tiles; measured 59.4 / 112.5 ms e2e).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
+    if crops_per_step is None:
+        crops_per_step = 2 if D <= 768 else 4
     G = min(crops_per_step, B)
     pad = (-B) % G
     if pad:

@@ -175,6 +175,19 @@ class VitInference:
 
     # ------------------------------------------------------------------ api
 
+    def set_yolo_step(self, step: int):
+        """Retune the detection cadence mid-stream (webcam auto-tuning,
+        pipeline/autotune.py).  Mirrors reset()'s tracker coupling —
+        max_age follows yolo_step so tracks coast across skipped detections
+        (reference inference.py:180-184) — without dropping live tracks."""
+        step = max(1, int(step))
+        if step == self.yolo_step:
+            return
+        self.yolo_step = step
+        if self.tracker is not None:
+            self.tracker.max_age = step
+            self.tracker.min_hits = 3 if step == 1 else 1
+
     def reset(self):
         """Reset per-video state (frame counter + tracker); reference :174-185."""
         min_hits = 3 if self.yolo_step == 1 else 1
