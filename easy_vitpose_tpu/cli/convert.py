@@ -27,6 +27,14 @@ def main(argv=None):
     py.add_argument("--ckpt", required=True)
     py.add_argument("--out", required=True)
 
+    pp = sub.add_parser("plus", help="convert a ViTPose+ MoE checkpoint to "
+                        "ONE live multi-task .npz (all experts + heads; "
+                        "serve any task via models/moe.py — beyond the "
+                        "reference, which can only split)")
+    pp.add_argument("--ckpt", required=True)
+    pp.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
+    pp.add_argument("--out", required=True)
+
     ps = sub.add_parser("split", help="split a ViTPose+ MoE checkpoint into "
                         "per-dataset single-head .npz checkpoints "
                         "(reference model_split.py equivalent)")
@@ -36,6 +44,18 @@ def main(argv=None):
     ps.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
 
     args = p.parse_args(argv)
+    if args.cmd == "plus":
+        import torch
+        from ..configs import get_model_config
+        from ..convert.vitpose_plus import convert_vitpose_plus_state_dict
+        from ..utils.checkpoint import save_params
+        ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=True)
+        cfg = get_model_config("coco", args.model_name)
+        params = convert_vitpose_plus_state_dict(ckpt, cfg)
+        save_params(args.out, params)
+        print(f"wrote {args.out} (live multi-task: "
+              f"{', '.join(sorted(params['heads']))})")
+        return
     if args.cmd == "split":
         from ..convert.model_split import split_checkpoint_file
         paths = split_checkpoint_file(args.source, args.target,

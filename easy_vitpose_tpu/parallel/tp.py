@@ -33,6 +33,11 @@ _RULES = {
     "fc1_b": P(None, "model"),
     "proj_w": P(None, "model", None),
     "fc2_w": P(None, "model", None),
+    # expert parallelism (ViTPose+ MoE, models/moe.py): the stacked
+    # (depth, E, hidden, D_exp) expert axes shard over 'model' — each
+    # shard holds E/m experts; GSPMD fetches the active expert's slice
+    "fc2_expert_w": P(None, "model", None, None),
+    "fc2_expert_b": P(None, "model", None),
 }
 
 
