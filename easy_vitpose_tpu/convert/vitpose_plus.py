@@ -109,5 +109,32 @@ def _convert_head(sd, prefix: str, cfg: ModelConfig, dtype, k_out: int):
     }
 
 
+def select_task(params: Mapping[str, Any], task: str) -> Dict[str, Any]:
+    """Live multi-task params -> single-task params for the fast serving
+    path (models/vitpose.py + the fused Pallas block): splice the task's
+    expert slice onto the shared fc2 (the same math as the reference
+    splitter, done on converted pytrees) and pick the task's head."""
+    heads = params["heads"]
+    if task not in heads:
+        raise KeyError(f"task {task!r} not in checkpoint "
+                       f"(has: {sorted(heads)})")
+    ei = SPLIT_DATASETS.index(task)
+    bb = dict(params["backbone"])
+    blocks = dict(bb["blocks"])
+    mlp = dict(blocks["mlp"])
+    ew = np.asarray(mlp.pop("fc2_expert_w"))[:, ei]   # (depth, hidden, D_exp)
+    eb = np.asarray(mlp.pop("fc2_expert_b"))[:, ei]
+    mlp["fc2_w"] = np.concatenate([np.asarray(mlp["fc2_w"]), ew], axis=-1)
+    mlp["fc2_b"] = np.concatenate([np.asarray(mlp["fc2_b"]), eb], axis=-1)
+    blocks["mlp"] = mlp
+    bb["blocks"] = blocks
+    return {"backbone": bb, "head": heads[task]}
+
+
+def is_plus_params(params: Mapping[str, Any]) -> bool:
+    return "heads" in params and "head" not in params
+
+
 # the reference head-tensor list, re-exported for synthetic-ckpt tests
-__all__ = ["convert_vitpose_plus_state_dict", "HEAD_TENSORS"]
+__all__ = ["convert_vitpose_plus_state_dict", "select_task",
+           "is_plus_params", "HEAD_TENSORS"]

@@ -57,7 +57,8 @@ class VitInference:
                  model_cfg=None,
                  flip_test: bool = False,
                  fixed_slots: Optional[int] = None,
-                 yolo_rect: Optional[bool] = None):
+                 yolo_rect: Optional[bool] = None,
+                 task: Optional[str] = None):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -95,7 +96,10 @@ class VitInference:
                     f"unknown device {device!r} (expected a JAX platform "
                     f"name like 'tpu' or 'cpu')") from e
 
-        # dataset from filename if not given (reference :123-128)
+        # dataset from filename if not given (reference :123-128); a
+        # multi-task checkpoint's task IS its dataset (skeleton + K)
+        if task is not None and dataset is None:
+            dataset = task
         if dataset is None:
             dataset = infer_dataset_by_path(model)
         assert dataset in NUM_KEYPOINTS, f"invalid dataset {dataset!r}"
@@ -131,6 +135,15 @@ class VitInference:
             params = load_params(model)
         else:
             raise ValueError(f"unsupported checkpoint format: {model}")
+        # live multi-task ViTPose+ checkpoint (cli/convert plus): splice the
+        # requested task's expert + head into a single-task tree so the
+        # whole fast serving path (incl. the fused Pallas block) applies
+        from ..convert.vitpose_plus import is_plus_params, select_task
+        if is_plus_params(params):
+            params = select_task(params, task or dataset)
+        elif task is not None:
+            raise ValueError("task= requires a multi-task (ViTPose+) "
+                             "checkpoint from 'cli/convert plus'")
         self.compute_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") \
             else jnp.float32
         # MXU matmul sampler is ~7% faster e2e; the gather sampler is the

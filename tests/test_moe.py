@@ -169,3 +169,51 @@ def test_expert_parallel_sharding(plus_sd, crops):
     assert ew.addressable_shards[0].data.shape[1] == 1  # one expert/shard
     got = np.asarray(vitpose_plus_forward(sharded, crops, CFG, "aic"))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_vitinference_serves_plus_checkpoint(plus_sd, tmp_path):
+    """VitInference(task=...) on a 'convert plus' npz: task slicing must
+    reproduce the split-checkpoint serving path bit-for-bit (and use the
+    fast single-task pipeline)."""
+    from easy_vitpose_tpu import VitInference
+    from easy_vitpose_tpu.convert.vitpose_plus import (
+        convert_vitpose_plus_state_dict, select_task)
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    plus = str(tmp_path / "vitpose-plus.npz")
+    save_params(plus, convert_vitpose_plus_state_dict(plus_sd, CFG))
+    frame = np.random.default_rng(2).integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.array([[30, 20, 160, 200, 0.9]], np.float32)
+    for task in TASKS:
+        cfg_t = dataclasses.replace(CFG, head=dataclasses.replace(
+            CFG.head, num_keypoints=TASK_K[task]))
+        m = VitInference(plus, model_name="s", model_cfg=cfg_t, task=task)
+        assert m.dataset == task
+        got = m.inference(frame, bboxes=boxes)[0]
+        split = convert_vitpose_state_dict(split_vitpose_plus(plus_sd)[task],
+                                           cfg_t)
+        sp = str(tmp_path / f"vitpose-s-{task}.npz")
+        save_params(sp, split)
+        ref = VitInference(sp, model_name="s", model_cfg=cfg_t,
+                           dataset=task).inference(frame, bboxes=boxes)[0]
+        np.testing.assert_array_equal(got, ref)
+    # task= on a single-task checkpoint is an error
+    with pytest.raises(ValueError):
+        VitInference(str(tmp_path / "vitpose-s-coco.npz"), model_name="s",
+                     model_cfg=CFG, task="mpii")
+    # a head missing from the checkpoint names the available tasks
+    with pytest.raises(KeyError):
+        VitInference(plus, model_name="s", model_cfg=CFG, task="ap10k")
+
+
+def test_select_task_matches_live_forward(plus_sd, crops):
+    from easy_vitpose_tpu.convert.vitpose_plus import (
+        convert_vitpose_plus_state_dict, select_task)
+    params = convert_vitpose_plus_state_dict(plus_sd, CFG)
+    for task in TASKS:
+        cfg_t = dataclasses.replace(CFG, head=dataclasses.replace(
+            CFG.head, num_keypoints=TASK_K[task]))
+        single = select_task(params, task)
+        a = np.asarray(vitpose_forward(single, crops, cfg_t))
+        b = np.asarray(vitpose_plus_forward(params, crops, CFG, task))
+        np.testing.assert_allclose(a, b, atol=1e-5)
