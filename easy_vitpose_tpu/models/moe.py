@@ -122,3 +122,19 @@ def vitpose_plus_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
     head_cfg = dataclasses.replace(cfg.head, num_keypoints=k_task)
     heat, _ = head_forward(head_p, feats, head_cfg, train=False)
     return jnp.transpose(heat, (0, 3, 1, 2))
+
+
+def vitpose_plus_forward_train(params: Params, x: jnp.ndarray,
+                               cfg: ModelConfig, task: str):
+    """Training forward for one task: returns (heatmaps NCHW, new_bn_state
+    for THAT task's head).  Multi-task finetuning alternates tasks across
+    steps (the ViTPose+ recipe); gradients reach the shared backbone, the
+    active expert slice, and the active head only."""
+    from ..convert.model_split import SPLIT_DATASETS
+    ei = SPLIT_DATASETS.index(task)
+    feats = vit_plus_forward(params["backbone"], x, cfg, expert_idx=ei)
+    head_p = params["heads"][task]
+    k_task = head_p["final_w"].shape[-1]
+    head_cfg = dataclasses.replace(cfg.head, num_keypoints=k_task)
+    heat, new_bn = head_forward(head_p, feats, head_cfg, train=True)
+    return jnp.transpose(heat, (0, 3, 1, 2)), new_bn

@@ -1,0 +1,94 @@
+"""Multi-task (ViTPose+) finetuning steps — beyond the reference, which can
+only finetune the flattened single-task models.
+
+The ViTPose+ recipe trains task-homogeneous batches, alternating tasks
+across steps: each step's gradients reach the shared backbone, the active
+expert's FFN slice (other experts get exact-zero grads through the
+dynamic-index selection), and the active task's head.  One optimizer state
+covers the whole tree; one compiled step per distinct head-K.
+
+Usage:
+  state = init_moe_train_state(plus_params, tx)
+  steps = {t: jax.jit(make_moe_train_step(cfg, tx, t)) for t in tasks}
+  for batch, task in task_scheduler(...):
+      state, metrics = steps[task](state, batch, key)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import ModelConfig
+from ..models.moe import vitpose_plus_forward_train
+from ..models.vitpose import cast_params
+from .losses import joints_mse_loss
+
+
+def split_bn_states_plus(params):
+    """plus params -> (trainable tree, {task: bn_state}) — the MoE analogue
+    of train/step.py::split_bn_state."""
+    p = dict(params)
+    heads = {}
+    bn = {}
+    for task, head in p["heads"].items():
+        head = dict(head)
+        bn[task] = head.pop("bn_state")
+        heads[task] = head
+    p["heads"] = heads
+    return p, bn
+
+
+def merge_bn_states_plus(params, bn_states):
+    p = dict(params)
+    heads = {}
+    for task, head in p["heads"].items():
+        head = dict(head)
+        head["bn_state"] = bn_states[task]
+        heads[task] = head
+    p["heads"] = heads
+    return p
+
+
+def init_moe_train_state(params, tx: optax.GradientTransformation
+                         ) -> Dict[str, Any]:
+    trainable, bn = split_bn_states_plus(params)
+    return {
+        "params": trainable,
+        "opt_state": tx.init(trainable),
+        "bn_state": bn,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                        task: str, *, use_amp: bool = True,
+                        loss_fn: Callable = joints_mse_loss):
+    """One task's train step over the shared multi-task state."""
+
+    def step(state, batch, rng):
+        del rng  # no drop-path in the MoE block (finetuning recipe)
+
+        def compute_loss(trainable):
+            params = merge_bn_states_plus(trainable, state["bn_state"])
+            fwd = cast_params(params, jnp.bfloat16) if use_amp else params
+            x = batch["images"].astype(jnp.bfloat16 if use_amp
+                                       else jnp.float32)
+            heat, new_bn = vitpose_plus_forward_train(fwd, x, cfg, task)
+            loss = loss_fn(heat, batch["targets"], batch["target_weights"])
+            return loss, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        bn = dict(state["bn_state"])
+        bn[task] = jax.tree.map(jnp.asarray, new_bn)
+        return ({"params": new_params, "opt_state": new_opt,
+                 "bn_state": bn, "step": state["step"] + 1},
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    return step

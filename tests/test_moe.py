@@ -217,3 +217,59 @@ def test_select_task_matches_live_forward(plus_sd, crops):
         a = np.asarray(vitpose_forward(single, crops, cfg_t))
         b = np.asarray(vitpose_plus_forward(params, crops, CFG, task))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_multitask_finetune_step(plus_sd):
+    """Task-alternating finetuning: loss decreases per task; a task's step
+    leaves OTHER experts and heads untouched (exact-zero grads)."""
+    import optax
+    from easy_vitpose_tpu.train import step as steplib
+    from easy_vitpose_tpu.train.moe_step import (init_moe_train_state,
+                                                 make_moe_train_step)
+
+    params = convert_vitpose_plus_state_dict(plus_sd, CFG)
+    tx = steplib.make_optimizer(1e-3)
+    state = init_moe_train_state(params, tx)
+    rng = np.random.default_rng(0)
+
+    def batch(k):
+        return {
+            "images": jnp.asarray(rng.normal(size=(2, 256, 192, 3))
+                                  .astype(np.float32)),
+            "targets": jnp.asarray(rng.uniform(0, 1, (2, k, 64, 48))
+                                   .astype(np.float32)),
+            "target_weights": jnp.ones((2, k, 1), jnp.float32),
+        }
+
+    steps = {t: jax.jit(make_moe_train_step(CFG, tx, t, use_amp=False))
+             for t in TASKS}
+
+    # one aic step: expert 1 and head 'aic' move; experts 0/2 and other
+    # heads must be bit-identical
+    b = batch(TASK_K["aic"])
+    before = jax.tree.map(np.asarray, state["params"])
+    state2, m1 = steps["aic"](state, b, jax.random.PRNGKey(0))
+    after = jax.tree.map(np.asarray, state2["params"])
+    ew_b = before["backbone"]["blocks"]["mlp"]["fc2_expert_w"]
+    ew_a = after["backbone"]["blocks"]["mlp"]["fc2_expert_w"]
+    assert np.abs(ew_a[:, 1] - ew_b[:, 1]).max() > 0      # active expert
+    np.testing.assert_array_equal(ew_a[:, 0], ew_b[:, 0])  # frozen experts
+    np.testing.assert_array_equal(ew_a[:, 2], ew_b[:, 2])
+    np.testing.assert_array_equal(
+        after["heads"]["coco"]["final_w"], before["heads"]["coco"]["final_w"])
+    assert np.abs(after["heads"]["aic"]["final_w"]
+                  - before["heads"]["aic"]["final_w"]).max() > 0
+    # shared parts move too
+    assert np.abs(after["backbone"]["blocks"]["mlp"]["fc2_w"]
+                  - before["backbone"]["blocks"]["mlp"]["fc2_w"]).max() > 0
+
+    # alternating schedule: each task's loss decreases over its own steps
+    losses = {t: [] for t in TASKS}
+    batches = {t: batch(TASK_K[t]) for t in TASKS}
+    for _ in range(6):
+        for t in TASKS:
+            state, metrics = steps[t](state, batches[t],
+                                      jax.random.PRNGKey(0))
+            losses[t].append(float(metrics["loss"]))
+    for t in TASKS:
+        assert losses[t][-1] < losses[t][0], (t, losses[t])
