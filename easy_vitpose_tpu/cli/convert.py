@@ -46,7 +46,6 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "plus":
         import torch
-        from ..configs import get_model_config
         from ..convert.vitpose_plus import convert_vitpose_plus_state_dict
         from ..utils.checkpoint import save_params
         ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=True)
