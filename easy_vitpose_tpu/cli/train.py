@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=210)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--workers", type=int, default=0,
+                   help="spawn-pool dataset workers (the reference's "
+                        "workers_per_gpu; 0 = background thread)")
     p.add_argument("--work-dir", default=None)
     args = p.parse_args(argv)
 
@@ -71,6 +74,7 @@ def main(argv=None):
         freeze_backbone=args.freeze_backbone or
         overrides.get("freeze_backbone", False),
         seed=overrides.get("seed", args.seed),
+        workers=overrides.get("workers", args.workers),
         work_dir=work_dir)
 
     params = init_vitpose_params(jax.random.PRNGKey(settings.seed), cfg)

@@ -225,12 +225,30 @@ class CocoPoseDataset:
         return img, target, weight, meta
 
 
+def _collate(items):
+    return {
+        "images": np.stack([it[0] for it in items]),
+        "targets": np.stack([it[1] for it in items]),
+        "target_weights": np.stack([it[2] for it in items]),
+        "meta": [it[3] for it in items],
+    }
+
+
 def batch_iterator(ds: CocoPoseDataset, batch_size: int,
                    shuffle: bool = True, drop_last: bool = True,
-                   prefetch: int = 2, seed: int = 0
+                   prefetch: int = 2, seed: int = 0, workers: int = 0
                    ) -> Iterator[Dict[str, np.ndarray]]:
-    """Assemble NHWC batches with a background producer thread (the
-    reference's DataLoader(num_workers) role on this 1-process runtime)."""
+    """Assemble NHWC batches; the reference's DataLoader(num_workers,
+    DistributedSampler) role.
+
+    workers=0: a background producer THREAD overlaps augmentation with the
+    device step (enough when cv2 releases the GIL).  workers>0: a spawn-based
+    process pool maps ``ds[i]`` across workers (the reference's
+    ``workers_per_gpu``) — use when per-sample augmentation is Python-bound.
+    'spawn' (not fork) because the parent may hold initialized XLA backends;
+    standard spawn caveat applies: the main module must be importable
+    (scripts with ``if __name__ == "__main__"``, not stdin/REPL one-liners).
+    """
     order = list(range(len(ds)))
     if shuffle:
         random.Random(seed).shuffle(order)
@@ -239,13 +257,23 @@ def batch_iterator(ds: CocoPoseDataset, batch_size: int,
 
     def make(bi):
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
-        items = [ds[i] for i in idxs]
-        return {
-            "images": np.stack([it[0] for it in items]),
-            "targets": np.stack([it[1] for it in items]),
-            "target_weights": np.stack([it[2] for it in items]),
-            "meta": [it[3] for it in items],
-        }
+        return _collate([ds[i] for i in idxs])
+
+    if workers > 0:
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        used = order[:n_batches * batch_size] if drop_last else order
+        with ctx.Pool(workers) as pool:
+            stream = pool.imap(ds.__getitem__, used, chunksize=2)
+            buf = []
+            for item in stream:
+                buf.append(item)
+                if len(buf) == batch_size:
+                    yield _collate(buf)
+                    buf = []
+            if buf and not drop_last:
+                yield _collate(buf)
+        return
 
     if prefetch <= 0:
         for bi in range(n_batches):

@@ -44,6 +44,7 @@ class TrainSettings:
     save_full_state: bool = False     # orbax train-state dirs for exact resume
     resume_state_dir: str = ""        # restore a full train state
     tensorboard: bool = True          # scalar event files under work_dir/tb
+    workers: int = 0                  # spawn-pool dataset workers (0=thread)
 
 
 class PlateauScheduler:
@@ -135,7 +136,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         t0 = time.time()
         losses = []
         it = batch_iterator(train_ds, settings.batch_size, shuffle=True,
-                            seed=settings.seed + epoch)
+                            seed=settings.seed + epoch,
+                            workers=settings.workers)
         gnorms = []
         for bi, batch in enumerate(it):
             rng, key = jax.random.split(rng)

@@ -164,3 +164,19 @@ def test_orbax_full_state_roundtrip(tmp_path):
         jax.tree.map(np.asarray, state), jax.tree.map(np.asarray, restored))
     assert max(jax.tree.leaves(diffs)) == 0.0
     assert int(restored["step"]) == 1
+
+
+def test_batch_iterator_workers_match_inprocess(coco_dir):
+    """workers>0 (spawn pool, the reference's num_workers) must yield the
+    same batches as the in-process path."""
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=False)
+    a = list(batch_iterator(ds, 4, shuffle=True, seed=3, drop_last=False,
+                            prefetch=0))
+    b = list(batch_iterator(ds, 4, shuffle=True, seed=3, drop_last=False,
+                            workers=2))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["targets"], y["targets"])
+    c = list(batch_iterator(ds, 4, shuffle=False, drop_last=True, workers=2))
+    assert all(batch["images"].shape[0] == 4 for batch in c)
