@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", default=None,
                    help="JAX platform to run on ('tpu'|'cpu'); default "
                         "auto-picks like the reference's cuda->mps->cpu")
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap detection with the previous frame's pose "
+                        "(one-frame output latency, higher video FPS)")
     p.add_argument("--target-fps", type=float, default=None,
                    help="auto-tune yolo_step to hold this FPS on live/video "
                         "input (detection cadence is the elastic cost; the "
@@ -103,10 +106,29 @@ def run_one(args, input_path: str) -> None:
         tuner = YoloStepAutoTuner(args.target_fps,
                                   min_step=args.yolo_step)
 
-    for i, frame in enumerate(frames):
-        t0 = time.perf_counter()
-        kpts = model.inference(frame)
-        dt = time.perf_counter() - t0
+    use_pipeline = args.pipelined and is_video and args.yolo
+    frame_iter = iter(frames)
+
+    def stream():
+        if not use_pipeline:
+            for f in frame_iter:
+                yield f, model.inference(f)
+            return
+        prev = None
+        for f in frame_iter:
+            out = model.inference_pipelined(f)
+            if out is not None:
+                yield prev, out
+            prev = f
+        out = model.flush()
+        if out is not None:
+            yield prev, out
+
+    t_prev = time.perf_counter()
+    for i, (frame, kpts) in enumerate(stream()):
+        now = time.perf_counter()
+        dt = now - t_prev
+        t_prev = now
         fps_hist.append(1.0 / max(dt, 1e-9))
         if tuner is not None and i >= 3:  # skip compile frames
             new_step = tuner.update(dt)

@@ -524,16 +524,29 @@ class YoloDetector:
         packed = np.asarray(self.detect_batch_async(frames))
         return self.unpack_batch(packed, (H, W))
 
+    def detect_async(self, img, frame_hw=None):
+        """Dispatch the single-frame detect program WITHOUT fetching; returns
+        the packed (max_det, 7) DEVICE array for :meth:`unpack` (pipelined
+        video serving overlaps this with the previous frame's pose)."""
+        H, W = frame_hw if frame_hw is not None else img.shape[:2]
+        geom = letterbox_geometry(H, W, self.imgsz,
+                                  rect=getattr(self, "rect", False))
+        return detect_frame_jit(
+            self.params, jnp.asarray(img), geom, self.spec, self.imgsz,
+            self.classes, self.conf, self.iou, self.max_det, self.dtype)
+
+    @staticmethod
+    def unpack(packed: np.ndarray, frame_hw) -> np.ndarray:
+        """(max_det, 7) packed (fetched) -> (N, 6) rows, frame-clipped."""
+        H, W = frame_hw
+        keep = packed[:, 6] > 0
+        out = np.array(packed[keep])
+        out[:, :4] = np.clip(out[:, :4], 0, [W, H, W, H])
+        return out[:, :6]
+
     def __call__(self, img, frame_hw=None) -> np.ndarray:
         """img: (H, W, 3) RGB uint8 (numpy or device array) ->
         (N, 6) [x1,y1,x2,y2,conf,cls] numpy."""
         H, W = frame_hw if frame_hw is not None else img.shape[:2]
-        geom = letterbox_geometry(H, W, self.imgsz,
-                                  rect=getattr(self, "rect", False))
-        packed = np.asarray(detect_frame_jit(
-            self.params, jnp.asarray(img), geom, self.spec, self.imgsz,
-            self.classes, self.conf, self.iou, self.max_det, self.dtype))
-        keep = packed[:, 6] > 0
-        out = packed[keep]
-        out[:, :4] = np.clip(out[:, :4], 0, [W, H, W, H])
-        return out[:, :6]
+        packed = np.asarray(self.detect_async(img, (H, W)))
+        return self.unpack(packed, (H, W))

@@ -211,6 +211,7 @@ class VitInference:
         # new video, new high-water mark (shrinking is free: previously
         # compiled shapes stay in the jit cache)
         self._slots_highwater = 0
+        self._pipe_pending = None  # (img, frame_dev, detect handle)
 
     @classmethod
     def postprocess(cls, heatmaps: np.ndarray, org_w: int, org_h: int
@@ -226,6 +227,12 @@ class VitInference:
         prob = np.asarray(prob)
         return np.concatenate([pts[:, :, ::-1], prob], axis=2)
 
+    def _detect_due(self) -> bool:
+        """Detection cadence for this frame (reference :235-236)."""
+        return (self.tracker is None
+                or self.frame_counter % self.yolo_step == 0
+                or self.frame_counter < 3)
+
     def inference(self, img: np.ndarray,
                   bboxes: Optional[np.ndarray] = None
                   ) -> Dict[Any, np.ndarray]:
@@ -240,17 +247,68 @@ class VitInference:
         if bboxes is not None:
             bb = np.asarray(bboxes, np.float32).reshape(-1, 5)
             res_pd = bb
-        elif self._detector is not None and (
-                self.tracker is None
-                or self.frame_counter % self.yolo_step == 0
-                or self.frame_counter < 3):
+        elif self._detector is not None and self._detect_due():
             results = self._detector(frame_dev, frame_hw=img.shape[:2])
             if len(results):
                 # detector rows are [x1,y1,x2,y2,conf,cls]; keep first 5
                 # (conf filter at 0.35, reference inference.py:240-241)
                 res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
         self.frame_counter += 1
+        return self._track_and_pose(img, frame_dev, res_pd, results)
 
+    def inference_pipelined(self, img: np.ndarray
+                            ) -> Optional[Dict[Any, np.ndarray]]:
+        """Pipelined video inference: returns keypoints for the PREVIOUS
+        frame (None on the first call; :meth:`flush` drains the last one).
+
+        Ordering hides the detector under the previous frame's pose (and
+        one tunnel RTT): fetch detect(t-1) -> host track -> dispatch
+        pose(t-1) -> dispatch detect(t) -> fetch pose(t-1).  Per-frame
+        results/draw()/state are identical to :meth:`inference`, one frame
+        late."""
+        frame_dev = jnp.asarray(img)
+        out_prev = None
+        if self._pipe_pending is not None:
+            prev_img, prev_dev, det_h = self._pipe_pending
+            res_pd = np.empty((0, 5), np.float32)
+            results = None
+            if det_h is not None:
+                results = self._detector.unpack(np.asarray(det_h),
+                                                prev_img.shape[:2])
+                if len(results):
+                    res_pd = results[results[:, 4]
+                                     > YOLO_CONF_THRESHOLD][:, :5]
+            det_t = self._dispatch_detect_async(frame_dev, img.shape[:2])
+            out_prev = self._track_and_pose(prev_img, prev_dev, res_pd,
+                                            results)
+        else:
+            det_t = self._dispatch_detect_async(frame_dev, img.shape[:2])
+        self._pipe_pending = (img, frame_dev, det_t)
+        return out_prev
+
+    def flush(self) -> Optional[Dict[Any, np.ndarray]]:
+        """Drain the pipelined stream: process and return the last frame."""
+        if getattr(self, "_pipe_pending", None) is None:
+            return None
+        prev_img, prev_dev, det_h = self._pipe_pending
+        self._pipe_pending = None
+        res_pd = np.empty((0, 5), np.float32)
+        results = None
+        if det_h is not None:
+            results = self._detector.unpack(np.asarray(det_h),
+                                            prev_img.shape[:2])
+            if len(results):
+                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
+        return self._track_and_pose(prev_img, prev_dev, res_pd, results)
+
+    def _dispatch_detect_async(self, frame_dev, hw):
+        due = self._detector is not None and self._detect_due()
+        self.frame_counter += 1
+        return self._detector.detect_async(frame_dev, frame_hw=hw) \
+            if due else None
+
+    def _track_and_pose(self, img, frame_dev, res_pd, results
+                        ) -> Dict[Any, np.ndarray]:
         # drop degenerate/non-finite boxes (a well-formed detector never emits
         # them, but the Kalman sqrt would NaN on x2<=x1)
         if len(res_pd):

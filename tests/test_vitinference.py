@@ -188,3 +188,27 @@ def test_yolo_rect_default_follows_video_mode(ckpt_npz, yolo_npz):
     # and the rect detector actually runs end-to-end in the video loop
     out = v.inference(_frame())
     assert isinstance(out, dict)
+
+
+def test_pipelined_video_inference_matches_sync(ckpt_npz, yolo_npz):
+    """inference_pipelined returns inference()'s exact results one frame
+    late (detector overlapped with the previous frame's pose)."""
+    def make():
+        return VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                            model_cfg=CASES["tiny"], is_video=True,
+                            yolo_step=2)
+
+    frames = [_frame() + i for i in range(5)]
+    sync = make()
+    ref = [sync.inference(f) for f in frames]
+    pipe = make()
+    got = [pipe.inference_pipelined(f) for f in frames]
+    assert got[0] is None
+    got = got[1:] + [pipe.flush()]
+    for t in range(len(frames)):
+        assert set(ref[t]) == set(got[t])
+        for k in ref[t]:
+            np.testing.assert_array_equal(got[t][k], ref[t][k])
+    assert pipe.flush() is None
+    # draw() state corresponds to the last RETURNED frame
+    assert pipe._img is not None
