@@ -31,7 +31,9 @@ def main(argv=None):
     p.add_argument("--imgdir", required=True)
     p.add_argument("--model", required=True)
     p.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
-    p.add_argument("--dataset", default="coco")
+    p.add_argument("--dataset", default=None,
+                   help="default: the --task name, else inferred from the "
+                        "checkpoint filename")
     p.add_argument("--yolo", default=None)
     p.add_argument("--yolo-size", type=int, default=640)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
@@ -46,6 +48,8 @@ def main(argv=None):
                         "datasets/COCO.py:441-496; thresholds from "
                         "configs data_cfg: oks_thr=0.9, vis_thr=0.2)")
     p.add_argument("--oks-thr", type=float, default=0.9)
+    p.add_argument("--task", default=None,
+                   help="task head for multi-task (ViTPose+) checkpoints")
     args = p.parse_args(argv)
 
     with open(args.ann) as f:
@@ -68,7 +72,7 @@ def main(argv=None):
     model = VitInference(args.model, yolo=args.yolo,
                          model_name=args.model_name, dataset=args.dataset,
                          yolo_size=args.yolo_size, is_video=False,
-                         dtype=args.dtype)
+                         dtype=args.dtype, task=args.task)
 
     results = []
     t0 = time.perf_counter()
