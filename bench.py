@@ -57,7 +57,7 @@ def main():
         .astype(np.float32))
     mask = jnp.ones((M,), bool)
 
-    block_impl = default_block_impl()  # fused Pallas block on TPU
+    block_impl = default_block_impl(compute_dtype=dtype)
 
     def chain(n):
         b = boxes

@@ -69,8 +69,15 @@ def main(argv=None):
             gt_boxes.setdefault(a["image_id"], []).append(
                 [x, y, x + w, y + h, 1.0])
 
+    dataset = args.dataset
+    if dataset is None and args.task is None:
+        from ..configs import infer_dataset_by_path
+        try:
+            dataset = infer_dataset_by_path(args.model)
+        except ValueError:
+            dataset = "coco"  # the harness's historical default
     model = VitInference(args.model, yolo=args.yolo,
-                         model_name=args.model_name, dataset=args.dataset,
+                         model_name=args.model_name, dataset=dataset,
                          yolo_size=args.yolo_size, is_video=False,
                          dtype=args.dtype, task=args.task)
 

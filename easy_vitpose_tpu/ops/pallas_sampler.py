@@ -35,6 +35,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..configs import IMAGE_SIZE
 
@@ -125,10 +127,6 @@ def sample_crops_pallas(frame: jnp.ndarray, geo,
     Returns:
       (M, OH, OW, 3) ``sample_dtype`` crops in [0, 255].
     """
-    global pl, pltpu
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     H, W = frame.shape[:2]
     OW, OH = out_wh
     M = geo["x1"].shape[0]

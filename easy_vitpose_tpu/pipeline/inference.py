@@ -151,7 +151,8 @@ class VitInference:
         self._sampler = ("matmul" if self.compute_dtype == jnp.bfloat16
                          else "gather")
         from .pose_step import default_block_impl
-        self._block_impl = default_block_impl(self._jax_device)
+        self._block_impl = default_block_impl(self._jax_device,
+                                              self.compute_dtype)
         params = jax.tree.map(jnp.asarray, params)
         if self.compute_dtype == jnp.bfloat16:
             params = cast_params(params, jnp.bfloat16)

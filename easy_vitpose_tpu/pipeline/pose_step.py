@@ -113,13 +113,16 @@ def pose_step_jit(params, frame, boxes, mask, cfg: ModelConfig,
                      unroll=unroll, sampler=sampler, block_impl=block_impl)
 
 
-def default_block_impl(device=None) -> str:
+def default_block_impl(device=None, compute_dtype=jnp.bfloat16) -> str:
     """Serving default for the transformer-block implementation: the fused
-    Pallas kernel on TPU (A/B: ViT-B/64 27.2 -> 21.9 ms/frame, PERF.md),
-    plain XLA elsewhere (Mosaic kernels don't compile on CPU)."""
+    Pallas kernel for bf16 serving on TPU (A/B: ViT-B/64 27.2 -> 21.9
+    ms/frame, PERF.md); plain XLA elsewhere — Mosaic kernels don't compile
+    on CPU, and fp32 is the bit-parity/debug mode whose exact-erf GELU the
+    in-kernel A&S approximation (~5e-7/layer) would quietly diverge from."""
     import jax
     platform = device.platform if device is not None else jax.default_backend()
-    return "pallas" if platform == "tpu" else "xla"
+    return "pallas" if (platform == "tpu"
+                        and compute_dtype == jnp.bfloat16) else "xla"
 
 
 def bucket_slots(n: int, min_slots: int = 1, max_slots: int = 64) -> int:

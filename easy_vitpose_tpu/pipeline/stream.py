@@ -74,7 +74,7 @@ class MultiStreamPose:
         self.frame_counter = 0
         self._pending = None  # (frames_dev, detect handle) of the last tick
         from .pose_step import default_block_impl
-        self.block_impl = default_block_impl()
+        self.block_impl = default_block_impl(compute_dtype=compute_dtype)
 
     # ------------------------------------------------------------ plumbing
 
@@ -159,7 +159,17 @@ class MultiStreamPose:
         H, W = frames_dev.shape[1:3]
         all_boxes, all_ids, all_fidx, stream_of = [], [], [], []
         for si in range(self.n):
-            tracked = self.trackers[si].update(boxes_per_stream[si])
+            dets = boxes_per_stream[si]
+            if len(dets):
+                # degenerate/non-finite boxes (e.g. clipped to zero width at
+                # the frame edge) would NaN the Kalman sqrt and poison the
+                # tracker — same guard as the single-stream path
+                # (inference.py: 'the Kalman sqrt would NaN on x2<=x1')
+                ok = (np.isfinite(dets[:, :4]).all(1)
+                      & (dets[:, 2] > dets[:, 0])
+                      & (dets[:, 3] > dets[:, 1]))
+                dets = dets[ok]
+            tracked = self.trackers[si].update(dets)
             tracked = tracked[np.isfinite(tracked[:, :4]).all(1)]
             tracked = tracked[:self.max_pp]
             for row in tracked:

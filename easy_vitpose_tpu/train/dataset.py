@@ -225,6 +225,20 @@ class CocoPoseDataset:
         return img, target, weight, meta
 
 
+_WORKER_DS = None
+
+
+def _worker_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_get(seed_idx):
+    seed, i = seed_idx
+    _WORKER_DS.rng = random.Random(seed * 1_000_003 + i)
+    return _WORKER_DS[i]
+
+
 def _collate(items):
     return {
         "images": np.stack([it[0] for it in items]),
@@ -263,8 +277,15 @@ def batch_iterator(ds: CocoPoseDataset, batch_size: int,
         import multiprocessing as mp
         ctx = mp.get_context("spawn")
         used = order[:n_batches * batch_size] if drop_last else order
-        with ctx.Pool(workers) as pool:
-            stream = pool.imap(ds.__getitem__, used, chunksize=2)
+        # the dataset ships to each worker ONCE (initializer initargs), not
+        # per chunk — imap then sends bare (seed, index) pairs.  Each sample
+        # reseeds the worker's RNG from (epoch seed, index): deterministic,
+        # distinct per sample AND per epoch (a pickled stateful RNG would
+        # replay identical draws for every chunk and every epoch).
+        with ctx.Pool(workers, initializer=_worker_init,
+                      initargs=(ds,)) as pool:
+            stream = pool.imap(_worker_get, ((seed, i) for i in used),
+                               chunksize=8)
             buf = []
             for item in stream:
                 buf.append(item)

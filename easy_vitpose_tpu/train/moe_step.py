@@ -63,6 +63,26 @@ def init_moe_train_state(params, tx: optax.GradientTransformation
     }
 
 
+def _mask_inactive(updates, task: str):
+    """Zero updates for other tasks' heads and expert slices."""
+    from ..convert.model_split import SPLIT_DATASETS
+    ei = SPLIT_DATASETS.index(task)
+    out = dict(updates)
+    out["heads"] = {t: (h if t == task else jax.tree.map(jnp.zeros_like, h))
+                    for t, h in updates["heads"].items()}
+    bb = dict(out["backbone"])
+    blocks = dict(bb["blocks"])
+    mlp = dict(blocks["mlp"])
+    for name in ("fc2_expert_w", "fc2_expert_b"):
+        u = mlp[name]
+        onehot = jax.nn.one_hot(ei, u.shape[1], dtype=u.dtype)
+        mlp[name] = u * onehot.reshape((1, -1) + (1,) * (u.ndim - 2))
+    blocks["mlp"] = mlp
+    bb["blocks"] = blocks
+    out["backbone"] = bb
+    return out
+
+
 def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                         task: str, *, use_amp: bool = True,
                         loss_fn: Callable = joints_mse_loss):
@@ -84,6 +104,11 @@ def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             compute_loss, has_aux=True)(state["params"])
         updates, new_opt = tx.update(grads, state["opt_state"],
                                      state["params"])
+        # inactive tasks must stay EXACTLY untouched (torch skips grad=None
+        # params, so the reference recipe never moves them) — but shared
+        # optax.adam moments are nonzero after a task's first active step
+        # and would emit nonzero updates for exact-zero grads; mask them.
+        updates = _mask_inactive(updates, task)
         new_params = optax.apply_updates(state["params"], updates)
         bn = dict(state["bn_state"])
         bn[task] = jax.tree.map(jnp.asarray, new_bn)

