@@ -71,11 +71,15 @@ def main(argv=None):
 
     dataset = args.dataset
     if dataset is None and args.task is None:
-        from ..configs import infer_dataset_by_path
+        from ..configs import NUM_KEYPOINTS, infer_dataset_by_path
         try:
             dataset = infer_dataset_by_path(args.model)
         except ValueError:
-            dataset = "coco"  # the harness's historical default
+            dataset = None
+        if dataset not in NUM_KEYPOINTS:
+            # no (valid) dataset token in the filename (e.g. model-final.npz
+            # would 'infer' the junk token 'final') -> historical default
+            dataset = "coco" 
     model = VitInference(args.model, yolo=args.yolo,
                          model_name=args.model_name, dataset=dataset,
                          yolo_size=args.yolo_size, is_video=False,

@@ -310,13 +310,10 @@ class VitInference:
 
     def _track_and_pose(self, img, frame_dev, res_pd, results
                         ) -> Dict[Any, np.ndarray]:
-        # drop degenerate/non-finite boxes (a well-formed detector never emits
-        # them, but the Kalman sqrt would NaN on x2<=x1)
-        if len(res_pd):
-            ok = (np.isfinite(res_pd[:, :4]).all(1)
-                  & (res_pd[:, 2] > res_pd[:, 0])
-                  & (res_pd[:, 3] > res_pd[:, 1]))
-            res_pd = res_pd[ok]
+        # drop degenerate/non-finite boxes (a well-formed detector never
+        # emits them, but the Kalman sqrt would NaN on x2<=x1)
+        from ..track.sort import sanitize_detections
+        res_pd = sanitize_detections(res_pd)
 
         ids = None
         if self.tracker is not None:

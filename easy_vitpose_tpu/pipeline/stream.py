@@ -159,17 +159,9 @@ class MultiStreamPose:
         H, W = frames_dev.shape[1:3]
         all_boxes, all_ids, all_fidx, stream_of = [], [], [], []
         for si in range(self.n):
-            dets = boxes_per_stream[si]
-            if len(dets):
-                # degenerate/non-finite boxes (e.g. clipped to zero width at
-                # the frame edge) would NaN the Kalman sqrt and poison the
-                # tracker — same guard as the single-stream path
-                # (inference.py: 'the Kalman sqrt would NaN on x2<=x1')
-                ok = (np.isfinite(dets[:, :4]).all(1)
-                      & (dets[:, 2] > dets[:, 0])
-                      & (dets[:, 3] > dets[:, 1]))
-                dets = dets[ok]
-            tracked = self.trackers[si].update(dets)
+            from ..track.sort import sanitize_detections
+            tracked = self.trackers[si].update(
+                sanitize_detections(boxes_per_stream[si]))
             tracked = tracked[np.isfinite(tracked[:, :4]).all(1)]
             tracked = tracked[:self.max_pp]
             for row in tracked:

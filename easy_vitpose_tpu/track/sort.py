@@ -57,6 +57,19 @@ def associate(dets: np.ndarray, trks: np.ndarray, iou_threshold: float):
     return matches, np.array(unmatched_dets), np.array(unmatched_trks)
 
 
+def sanitize_detections(dets):
+    """Drop non-finite / degenerate (x2<=x1 or y2<=y1) detector rows before
+    tracking — the Kalman sqrt(s*r) would NaN on them and permanently poison
+    the filter state.  Shared by the single- and multi-stream pipelines."""
+    import numpy as _np
+    if not len(dets):
+        return dets
+    ok = (_np.isfinite(dets[:, :4]).all(1)
+          & (dets[:, 2] > dets[:, 0])
+          & (dets[:, 3] > dets[:, 1]))
+    return dets[ok]
+
+
 class Sort:
     """Drop-in equivalent of the reference Sort class."""
 

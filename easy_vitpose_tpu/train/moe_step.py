@@ -83,6 +83,33 @@ def _mask_inactive(updates, task: str):
     return out
 
 
+def _restore_inactive_opt(new_opt, old_opt, task: str):
+    """Freeze inactive tasks' optimizer MOMENTS too: zero grads would still
+    decay adam's mu/nu every step (torch skips grad=None params entirely, so
+    the reference recipe resumes a task with its momentum intact).  Walks the
+    param-shaped leaves inside the optax state by trailing path (the moments
+    mirror the params tree) and keeps the old values for other tasks' heads
+    and expert slices.  Adam's GLOBAL bias-correction count still advances —
+    a second-order divergence from torch's per-param step, documented here
+    rather than hidden."""
+    from ..convert.model_split import SPLIT_DATASETS
+    ei = SPLIT_DATASETS.index(task)
+
+    def restore(path, new, old):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "heads" in keys:
+            t = keys[keys.index("heads") + 1]
+            return new if t == task else old
+        name = keys[-1] if keys else ""
+        if name in ("fc2_expert_w", "fc2_expert_b") and new.ndim >= 2:
+            onehot = jax.nn.one_hot(ei, new.shape[1], dtype=new.dtype)
+            onehot = onehot.reshape((1, -1) + (1,) * (new.ndim - 2))
+            return new * onehot + old * (1 - onehot)
+        return new
+
+    return jax.tree_util.tree_map_with_path(restore, new_opt, old_opt)
+
+
 def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                         task: str, *, use_amp: bool = True,
                         loss_fn: Callable = joints_mse_loss):
@@ -109,6 +136,7 @@ def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         # optax.adam moments are nonzero after a task's first active step
         # and would emit nonzero updates for exact-zero grads; mask them.
         updates = _mask_inactive(updates, task)
+        new_opt = _restore_inactive_opt(new_opt, state["opt_state"], task)
         new_params = optax.apply_updates(state["params"], updates)
         bn = dict(state["bn_state"])
         bn[task] = jax.tree.map(jnp.asarray, new_bn)

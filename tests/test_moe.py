@@ -263,6 +263,22 @@ def test_multitask_finetune_step(plus_sd):
     np.testing.assert_array_equal(ew_a[:, 2], ew_b[:, 2])
     np.testing.assert_array_equal(
         after["heads"]["coco"]["final_w"], before["heads"]["coco"]["final_w"])
+    # optimizer MOMENTS of inactive tasks must also be frozen (torch skips
+    # grad=None params: momentum survives until the task reactivates)
+    def moments(st):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: np.asarray(x), st["opt_state"])
+    mb, ma = moments(state), moments(state2)
+    flatb = jax.tree_util.tree_flatten_with_path(mb)[0]
+    flata = jax.tree_util.tree_flatten_with_path(ma)[0]
+    for (path, vb), (_, va) in zip(flatb, flata):
+        keys = [str(getattr(q, "key", "")) for q in path]
+        if "heads" in keys and "coco" in keys:
+            np.testing.assert_array_equal(va, vb)
+        name = keys[-1] if keys else ""
+        if name == "fc2_expert_w" and va.ndim == 4:
+            np.testing.assert_array_equal(va[:, 0], vb[:, 0])  # coco expert
+            np.testing.assert_array_equal(va[:, 2], vb[:, 2])  # mpii expert
     assert np.abs(after["heads"]["aic"]["final_w"]
                   - before["heads"]["aic"]["final_w"]).max() > 0
     # shared parts move too

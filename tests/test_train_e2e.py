@@ -200,9 +200,19 @@ def test_workers_augmentation_diversity(coco_dir):
     # different epoch seed -> different augmentations
     assert any(np.abs(x["images"] - y["images"]).max() > 1
                for x, y in zip(e0, e1))
-    # chunk-mates (indices 0 and 1 share a pool chunk) must not share draws:
-    # anns 0 and 1 are different crops of the same image; identical RNG
-    # streams would give them correlated flip/rot decisions — compare each
-    # sample's augmented image against a re-run with only ITS index reseeded
-    imgs = np.concatenate([b["images"] for b in e0])
-    assert not np.array_equal(imgs[0], imgs[1])
+    # THE old-bug geometry: under a pickled stateful RNG, every pool chunk
+    # replayed the same stream, so the first item of chunk 0 and the first
+    # item of chunk 1 (indices 0 and 8 at chunksize=8) got IDENTICAL draws.
+    # Duplicate one record 16x so identical draws => identical outputs.
+    dup = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    dup.data = [dup.data[0]] * 16
+    batches = list(batch_iterator(dup, 8, shuffle=False, drop_last=False,
+                                  seed=5, workers=2))
+    imgs = np.concatenate([b["images"] for b in batches])
+    assert not np.array_equal(imgs[0], imgs[8]), \
+        "chunk-start samples replayed the same RNG stream"
+    # and per-index determinism holds for the duplicated records too
+    batches2 = list(batch_iterator(dup, 8, shuffle=False, drop_last=False,
+                                   seed=5, workers=2))
+    np.testing.assert_array_equal(
+        imgs, np.concatenate([b["images"] for b in batches2]))
