@@ -36,7 +36,7 @@ def main(argv=None):
                         "checkpoint filename")
     p.add_argument("--yolo", default=None)
     p.add_argument("--yolo-size", type=int, default=640)
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "int8"])
     p.add_argument("--out", default="results.json")
     p.add_argument("--limit", type=int, default=0, help="max images (debug)")
     p.add_argument("--use-gt-bbox", action="store_true",

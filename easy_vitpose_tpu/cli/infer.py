@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--yolo-size", type=int, default=320)
     p.add_argument("--yolo-step", type=int, default=1)
     p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "int8"])
     p.add_argument("--single-pose", action="store_true")
     p.add_argument("--show", action="store_true")
     p.add_argument("--show-yolo", action="store_true")
@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipelined", action="store_true",
                    help="overlap detection with the previous frame's pose "
                         "(one-frame output latency, higher video FPS)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="offline batched mode for video files: process N "
+                        "frames per device program pair (max throughput; "
+                        "results identical to frame-by-frame)")
     p.add_argument("--target-fps", type=float, default=None,
                    help="auto-tune yolo_step to hold this FPS on live/video "
                         "input (detection cadence is the elastic cost; the "
@@ -110,6 +114,25 @@ def run_one(args, input_path: str) -> None:
     frame_iter = iter(frames)
 
     def stream():
+        if args.batch and is_video and not str(input_path).isdigit():
+            # offline windowed mode: one batched detect + one batched pose
+            # program per window of N frames
+            def emit(window):
+                outs = model.inference_batched(window)
+                for k, (fr, out) in enumerate(zip(window, outs)):
+                    if save_media:
+                        model.select_frame_state(k)  # draw() per frame
+                    yield fr, out
+
+            window = []
+            for f in frame_iter:
+                window.append(f)
+                if len(window) == args.batch:
+                    yield from emit(window)
+                    window = []
+            if window:
+                yield from emit(window)
+            return
         if not use_pipeline:
             for f in frame_iter:
                 yield f, model.inference(f)

@@ -37,7 +37,8 @@ def build_parser():
     p.add_argument("--yolo-size", type=int, default=640)
     p.add_argument("--yolo-step", type=int, default=1)
     p.add_argument("--max-people-per-stream", type=int, default=8)
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--dtype", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-pipeline", action="store_true",
                    help="synchronous ticks (pipelined is the default)")
     p.add_argument("--max-ticks", type=int, default=0)
@@ -48,7 +49,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    quant = args.dtype == "int8"
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
 
     dataset = args.dataset or infer_dataset_by_path(args.model)
     cfg = get_model_config(dataset, args.model_name)
@@ -59,7 +61,10 @@ def main(argv=None):
         from ..utils.checkpoint import load_params
         params = load_params(args.model)
     params = jax.tree.map(jnp.asarray, params)
-    if dtype == jnp.bfloat16:
+    if quant:
+        from ..models.quant import quantize_vit_params
+        params = quantize_vit_params(params, dtype)
+    elif dtype == jnp.bfloat16:
         from ..models.vitpose import cast_params
         params = cast_params(params, dtype)
 
@@ -74,7 +79,7 @@ def main(argv=None):
                          n_streams=len(args.inputs),
                          yolo_step=args.yolo_step,
                          max_people_per_stream=args.max_people_per_stream,
-                         compute_dtype=dtype)
+                         compute_dtype=dtype, quant=quant)
 
     readers = [iter(VideoReader(p)) for p in args.inputs]
     logs = [[] for _ in args.inputs]

@@ -146,6 +146,9 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
         'pallas' runs the whole block in one fused VMEM kernel
         (models/fused_block.py — serving only, no drop-path);
         'pallas_interpret' is the same kernel in interpreter mode (CPU tests).
+        'xla_q8' / 'pallas_q8' / 'pallas_q8_interpret' are the int8 W8A8
+        twins (models/quant.py) and require ``params["blocks"]`` produced
+        by :func:`..models.quant.quantize_vit_params`.
 
     Returns:
       (B, Hp, Wp, D) feature map, NHWC.
@@ -170,15 +173,27 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
         masks = None
 
     use_pallas = block_impl in ("pallas", "pallas_interpret")
+    use_q8 = block_impl in ("xla_q8", "pallas_q8", "pallas_q8_interpret")
+    if use_pallas or use_q8:
+        assert not use_dp, "fused/int8 blocks are serving paths (no drop-path)"
     if use_pallas:
-        assert not use_dp, "fused block is a serving path (no drop-path)"
         from .fused_block import fused_block
+    if use_q8:
+        from .quant import block_q8, fused_block_q8, is_q8_blocks
+        assert is_q8_blocks(params["blocks"]), \
+            "block_impl=*_q8 needs params from quantize_vit_params()"
 
     def body(carry, layer):
         p, mask = (layer, None) if masks is None else layer
         if use_pallas:
             out = fused_block(carry, p, cfg,
                               interpret=(block_impl == "pallas_interpret"))
+        elif block_impl == "xla_q8":
+            out = block_q8(carry, p, cfg.num_heads, cfg.layer_norm_eps)
+        elif use_q8:
+            out = fused_block_q8(
+                carry, p, cfg,
+                interpret=(block_impl == "pallas_q8_interpret"))
         else:
             out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask,
                         attn_impl=attn_impl)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..configs import IMAGE_SIZE, IMAGENET_MEAN, IMAGENET_STD
@@ -190,6 +191,64 @@ def sample_crops_matmul(frame: jnp.ndarray, geo,
     Wy = wmat(sy, geo["top"], geo["hc"], H, geo["hp"], geo["y1"])   # (M,OH,H)
     fr_t = jnp.swapaxes(frame.astype(sample_dtype), 0, 1).reshape(W, H * 3)
     xv = jnp.einsum("mow,wk->mok", Wx, fr_t).reshape(M, OW, H, 3)
+    return jnp.einsum("moh,mwhc->mowc", Wy, xv)
+
+
+def sample_crops_matmul_q8(frame: jnp.ndarray, geo,
+                           out_wh: Tuple[int, int] = IMAGE_SIZE,
+                           sample_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Crop sampling with the big x-pass matmul in int8 (2x MXU rate).
+
+    The x-pass of :func:`sample_crops_matmul` is a (M*OW, W) @ (W, H*3)
+    matmul over the whole frame — ~88% of the sampler FLOPs.  Here its
+    2-tap interpolation weights (values in [0, 1]) are quantized to int8 at
+    a fixed scale 1/127 and the uint8 frame is shifted to int8 (f - 128);
+    the offset is undone exactly via the weight-matrix row sums:
+
+        Wq @ f = Wq @ (f - 128) + 128 * rowsum(Wq)
+
+    so the ONLY error is tap rounding: <= 255/254 per tap, ~1 intensity
+    level out of 255 — the same order as the reference's own uint8 resize
+    rounding.  The small per-crop y-pass stays in ``sample_dtype``.
+    """
+    H, W = frame.shape[:2]
+    OW, OH = out_wh
+    M = geo["x1"].shape[0]
+    wp = geo["wp"].astype(jnp.float32)[:, None]
+    hp = geo["hp"].astype(jnp.float32)[:, None]
+    sx = jnp.clip((jnp.arange(OW, dtype=jnp.float32) + 0.5)[None]
+                  * (wp / OW) - 0.5, 0.0, wp - 1.0)
+    sy = jnp.clip((jnp.arange(OH, dtype=jnp.float32) + 0.5)[None]
+                  * (hp / OH) - 0.5, 0.0, hp - 1.0)
+
+    def wmat(s, lo, size, span, cap, origin, dtype, scale=1.0):
+        i0 = jnp.floor(s).astype(jnp.int32)
+        f = s - i0
+        i1 = jnp.minimum(i0 + 1, cap[:, None] - 1)
+        ax = jnp.arange(span)[None, None, :]
+
+        def tap(iq, w):
+            in_r = (iq >= lo[:, None]) & (iq < (lo + size)[:, None])
+            gi = jnp.clip(iq - lo[:, None] + origin[:, None], 0, span - 1)
+            wq = jnp.rint(w * scale) if scale != 1.0 else w
+            return ((ax == gi[:, :, None]).astype(jnp.float32)
+                    * (wq * in_r)[:, :, None])
+
+        return (tap(i0, 1.0 - f) + tap(i1, f)).astype(dtype)
+
+    Wxq = wmat(sx, geo["left"], geo["wc"], W, geo["wp"], geo["x1"],
+               jnp.int8, scale=127.0)                              # (M,OW,W)
+    Wy = wmat(sy, geo["top"], geo["hc"], H, geo["hp"], geo["y1"],
+              sample_dtype)                                        # (M,OH,H)
+    fr_shift = (frame.astype(jnp.int16) - 128).astype(jnp.int8)
+    fr_t = jnp.swapaxes(fr_shift, 0, 1).reshape(W, H * 3)
+    acc = jax.lax.dot_general(
+        Wxq.reshape(M * OW, W), fr_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                         # (M*OW,H*3)
+    rowsum = jnp.sum(Wxq.astype(jnp.int32), axis=-1)              # (M, OW)
+    xv = (acc.reshape(M, OW, H * 3).astype(jnp.float32)
+          + 128.0 * rowsum[:, :, None]) * (1.0 / 127.0)
+    xv = xv.astype(sample_dtype).reshape(M, OW, H, 3)
     return jnp.einsum("moh,mwhc->mowc", Wy, xv)
 
 

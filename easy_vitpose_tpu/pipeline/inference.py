@@ -144,8 +144,14 @@ class VitInference:
         elif task is not None:
             raise ValueError("task= requires a multi-task (ViTPose+) "
                              "checkpoint from 'cli/convert plus'")
-        self.compute_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") \
-            else jnp.float32
+        # dtype='int8' is the W8A8 quantized serving path (models/quant.py):
+        # per-channel int8 block weights + dynamic per-token activation
+        # quantization ride the MXU's 2x int8 throughput; attention/LN/head
+        # stay bf16/f32. Beyond the reference (whose fastest path is fp16 TRT).
+        self.quant = dtype in ("int8", "w8a8")
+        self.compute_dtype = (jnp.bfloat16
+                              if self.quant or dtype in ("bf16", "bfloat16")
+                              else jnp.float32)
         # MXU matmul sampler is ~7% faster e2e; the gather sampler is the
         # f32 bit-parity path (see ops/preprocess.py)
         self._sampler = ("matmul" if self.compute_dtype == jnp.bfloat16
@@ -153,8 +159,14 @@ class VitInference:
         from .pose_step import default_block_impl
         self._block_impl = default_block_impl(self._jax_device,
                                               self.compute_dtype)
+        if self.quant:
+            self._block_impl = ("pallas_q8"
+                                if self._block_impl == "pallas" else "xla_q8")
         params = jax.tree.map(jnp.asarray, params)
-        if self.compute_dtype == jnp.bfloat16:
+        if self.quant:
+            from ..models.quant import quantize_vit_params
+            params = quantize_vit_params(params, self.compute_dtype)
+        elif self.compute_dtype == jnp.bfloat16:
             params = cast_params(params, jnp.bfloat16)
         if self._jax_device is not None:
             params = jax.device_put(params, self._jax_device)
@@ -212,6 +224,7 @@ class VitInference:
         # new video, new high-water mark (shrinking is free: previously
         # compiled shapes stay in the jit cache)
         self._slots_highwater = 0
+        self._batched_slots = 0
         self._pipe_pending = None  # (img, frame_dev, detect handle)
 
     @classmethod
@@ -302,14 +315,133 @@ class VitInference:
                 res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
         return self._track_and_pose(prev_img, prev_dev, res_pd, results)
 
+    def inference_batched(self, frames,
+                          bboxes_per_frame=None) -> list:
+        """Offline batched video inference: F consecutive same-size frames ->
+        F result dicts using TWO device programs total (one batched detector
+        program + one batched pose program) instead of 2F.
+
+        Semantics match calling :meth:`inference` frame-by-frame — same
+        detection cadence (``yolo_step`` + first-3-frames), conf>0.35
+        filter, SORT evolution, score-capping — so track IDs line up with
+        the sequential path.  The only numeric caveat: the detector runs
+        batched, which can differ from per-frame runs at f32 noise.
+
+        This is the offline-throughput mode (video files, COCO eval): it
+        amortizes per-program dispatch and host<->device round-trips over
+        the window, which dominates single-frame latency on tunnel/remote
+        hosts.  The reference has no equivalent (its TODO asks for
+        "parallel batched inference", reference README.md:320-328).
+
+        Args:
+          frames: sequence of (H, W, 3) uint8 RGB frames (same size).
+          bboxes_per_frame: optional list of (N_i, 5) [x1,y1,x2,y2,conf]
+            arrays to skip detection (detector-free usage).
+        Returns:
+          list of {person_id: (K, 3) float32 (y, x, score)} — one per frame.
+          draw() state is left at the LAST frame of the window.
+        """
+        frames = list(frames)
+        F = len(frames)
+        if F == 0:
+            return []
+        stack = np.stack(frames)
+        frames_dev = jnp.asarray(stack)
+        H, W = stack.shape[1:3]
+
+        # detection cadence per frame, respecting the running counter
+        due = []
+        for _ in range(F):
+            due.append(bboxes_per_frame is None
+                       and self._detector is not None and self._detect_due())
+            self.frame_counter += 1
+        dets = None
+        if any(due):
+            if hasattr(self._detector, "detect_batch_async"):
+                h = self._detector.detect_batch_async(frames_dev)
+                dets = self._detector.unpack_batch(np.asarray(h), (H, W))
+            else:
+                dets = [self._detector(frames_dev[i], frame_hw=(H, W))
+                        for i in range(F)]
+
+        # host tracking, sequential in frame order (identical evolution to
+        # the frame-by-frame path)
+        per_frame = []
+        all_boxes, all_fidx = [], []
+        for i in range(F):
+            results = None
+            res_pd = np.empty((0, 5), np.float32)
+            if bboxes_per_frame is not None:
+                res_pd = np.asarray(bboxes_per_frame[i],
+                                    np.float32).reshape(-1, 5)
+            elif due[i] and dets is not None:
+                results = dets[i]
+                if len(results):
+                    res_pd = results[results[:, 4]
+                                     > YOLO_CONF_THRESHOLD][:, :5]
+            res_pd, ids, scores = self._track_boxes(res_pd)
+            per_frame.append((res_pd, ids, scores, results))
+            for row in res_pd:
+                all_boxes.append(row[:4])
+                all_fidx.append(i)
+
+        outputs = [dict() for _ in range(F)]
+        nb = len(all_boxes)
+        if nb:
+            from .stream import _pose_multi_frame
+            # grow-only slot high-water over the whole window: one compiled
+            # pose shape per (frame-count, slots) as the window content varies
+            self._batched_slots = max(
+                self._batched_slots,
+                bucket_slots(nb, max_slots=F * self.max_people))
+            M = self._batched_slots
+            boxes = np.zeros((M, 4), np.float32)
+            fidx = np.zeros((M,), np.int32)
+            mask = np.zeros((M,), bool)
+            boxes[:nb] = np.stack(all_boxes)
+            boxes[:nb, 0::2] = np.clip(boxes[:nb, 0::2], 0, W)
+            boxes[:nb, 1::2] = np.clip(boxes[:nb, 1::2], 0, H)
+            fidx[:nb] = all_fidx
+            mask[:nb] = True
+            out = np.asarray(_pose_multi_frame(
+                self._params, frames_dev, jnp.asarray(boxes),
+                jnp.asarray(fidx), jnp.asarray(mask), self.cfg,
+                compute_dtype=self.compute_dtype,
+                block_impl=self._block_impl))
+            k = 0
+            for i in range(F):
+                res_pd, ids, scores, _ = per_frame[i]
+                for pid, score in zip(ids, scores):
+                    outputs[i][pid] = out[k]
+                    k += 1
+
+        if self.save_state:
+            self._window_states = []
+            for i in range(F):
+                res_pd, ids, scores, results = per_frame[i]
+                self._window_states.append(
+                    (frames[i], results,
+                     (res_pd[:, :4].round().astype(int), ids, scores),
+                     outputs[i], dict(zip(ids, scores))))
+            self.select_frame_state(F - 1)
+        return outputs
+
+    def select_frame_state(self, i: int):
+        """Point draw() at frame ``i`` of the last :meth:`inference_batched`
+        window (batched mode computes a whole window before any drawing)."""
+        (self._img, self._yolo_res, self._tracker_res, self._keypoints,
+         self._scores_bbox) = self._window_states[i]
+
     def _dispatch_detect_async(self, frame_dev, hw):
         due = self._detector is not None and self._detect_due()
         self.frame_counter += 1
         return self._detector.detect_async(frame_dev, frame_hw=hw) \
             if due else None
 
-    def _track_and_pose(self, img, frame_dev, res_pd, results
-                        ) -> Dict[Any, np.ndarray]:
+    def _track_boxes(self, res_pd):
+        """Host tracking stage shared by the sequential and batched paths:
+        sanitize -> SORT update -> finite filter -> score-cap.  Returns
+        (res_pd rows, ids, scores)."""
         # drop degenerate/non-finite boxes (a well-formed detector never
         # emits them, but the Kalman sqrt would NaN on x2<=x1)
         from ..track.sort import sanitize_detections
@@ -331,10 +463,14 @@ class VitInference:
             if ids is not None:
                 ids = [ids[i] for i in order]
 
-        bboxes_i = res_pd[:, :4].round().astype(int)
-        scores = res_pd[:, 4].tolist()
         if ids is None:
-            ids = list(range(len(bboxes_i)))
+            ids = list(range(len(res_pd)))
+        return res_pd, ids, res_pd[:, 4].tolist()
+
+    def _track_and_pose(self, img, frame_dev, res_pd, results
+                        ) -> Dict[Any, np.ndarray]:
+        res_pd, ids, scores = self._track_boxes(res_pd)
+        bboxes_i = res_pd[:, :4].round().astype(int)
 
         frame_keypoints: Dict[Any, np.ndarray] = {}
         scores_bbox: Dict[Any, float] = {}

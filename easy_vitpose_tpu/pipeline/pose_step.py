@@ -28,7 +28,7 @@ from ..configs import IMAGE_SIZE, ModelConfig
 from ..models.vitpose import vitpose_forward
 from ..ops import decode
 from ..ops.preprocess import (crop_geometry, normalize_crops, sample_crops,
-                              sample_crops_matmul)
+                              sample_crops_matmul, sample_crops_matmul_q8)
 
 
 def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
@@ -63,8 +63,9 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
                                     sample_dtype=compute_dtype,
                                     interpret=(sampler == "pallas_interpret"))
     else:
-        sample_fn = (sample_crops_matmul if sampler == "matmul"
-                     else sample_crops)
+        sample_fn = {"matmul": sample_crops_matmul,
+                     "matmul_q8": sample_crops_matmul_q8,
+                     "gather": sample_crops}[sampler]
         crops = sample_fn(frame, geo, IMAGE_SIZE, sample_dtype=compute_dtype)
     x = normalize_crops(crops, dtype=compute_dtype)
     heatmaps = vitpose_forward(params, x, cfg, attn_impl=attn_impl,

@@ -60,7 +60,7 @@ class MultiStreamPose:
     def __init__(self, params, cfg: ModelConfig, detector=None,
                  n_streams: int = 8, yolo_step: int = 1,
                  max_people_per_stream: int = 8,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, quant: bool = False):
         self.params = params
         self.cfg = cfg
         self.detector = detector
@@ -75,6 +75,11 @@ class MultiStreamPose:
         self._pending = None  # (frames_dev, detect handle) of the last tick
         from .pose_step import default_block_impl
         self.block_impl = default_block_impl(compute_dtype=compute_dtype)
+        if quant:
+            # W8A8 int8 serving (models/quant.py): caller passes params from
+            # quantize_vit_params(); compute_dtype should be bf16.
+            self.block_impl = ("pallas_q8" if self.block_impl == "pallas"
+                               else "xla_q8")
 
     # ------------------------------------------------------------ plumbing
 
