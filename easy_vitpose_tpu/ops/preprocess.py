@@ -41,9 +41,10 @@ def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
     Args:
       boxes: (M, 4) float [x1, y1, x2, y2] detector boxes (pre-inflation).
       frame_hw: static (H, W) of the frame.
-      y_bounds: optional (M, 2) int per-box [ymin, ymax) clip range — used by
-        the multi-stream path where several frames are stacked vertically and
-        the +/-10px inflation must not cross a stream boundary.
+      y_bounds: optional (M, 2) int per-box [ymin, ymax) clip range for the
+        +/-10px inflation (e.g. for callers compositing several images into
+        one canvas; the stacked-frame serving paths instead sample each crop
+        from its own frame via ``sample_crops(frame_idx=...)``).
     Returns:
       dict of (M,) int32 arrays: x1, y1 (inflated, clipped crop origin),
       wc, hc (crop size), wp, hp (padded size), left, top (pad offsets).
@@ -77,7 +78,8 @@ def crop_geometry(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
 
 
 def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE,
-                 sample_dtype=jnp.float32) -> jnp.ndarray:
+                 sample_dtype=jnp.float32,
+                 frame_idx: jnp.ndarray = None) -> jnp.ndarray:
     """Bilinear-sample all crops from the frame, TPU-fast.
 
     Bilinear resampling is separable, so instead of 4 random-access 2-D
@@ -94,7 +96,8 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE,
     the joint in_y & in_x mask of the direct formulation.
 
     Args:
-      frame: (H, W, 3) uint8 (or float) RGB frame.
+      frame: (H, W, 3) uint8 (or float) RGB frame — or a STACK of frames
+        (S, H, W, 3) when ``frame_idx`` is given.
       geo: output of :func:`crop_geometry` for M boxes.
       out_wh: (W_out, H_out) pose input size, default (192, 256).
       sample_dtype: dtype of the gathered/interpolated intermediates.
@@ -102,12 +105,18 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE,
         error of ~0.5/255 per pixel — the same scale as the reference's own
         uint8 resize quantization — and is used for bf16 serving; float32 is
         the parity path.
+      frame_idx: optional (M,) int32 — which stacked frame each crop samples
+        from (multi-stream / batched-window serving).  Each crop gathers
+        columns from its OWN frame, so the interpolation intermediates stay
+        at single-frame scale no matter how many frames are stacked (a
+        "tall virtual frame" formulation would scale them by S and OOM at
+        16x1080p windows).
     Returns:
       (M, H_out, W_out, 3) ``sample_dtype`` crops in [0, 255] range.
     """
-    H, W = frame.shape[:2]
+    H, W = frame.shape[-3:-1]
     OW, OH = out_wh
-    frame_t = jnp.swapaxes(frame, 0, 1)                   # (W, H, 3)
+    frame_t = jnp.swapaxes(frame, -3, -2)                 # (..., W, H, 3)
 
     wp = geo["wp"].astype(jnp.float32)[:, None]           # (M, 1)
     hp = geo["hp"].astype(jnp.float32)[:, None]
@@ -129,7 +138,10 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE,
         in_x = ((xi >= geo["left"][:, None])
                 & (xi < (geo["left"] + geo["wc"])[:, None]))
         gx = jnp.clip(xi - geo["left"][:, None] + geo["x1"][:, None], 0, W - 1)
-        cols = frame_t[gx].astype(sample_dtype)           # (M, OW, H, 3)
+        if frame_idx is None:
+            cols = frame_t[gx].astype(sample_dtype)       # (M, OW, H, 3)
+        else:
+            cols = frame_t[frame_idx[:, None], gx].astype(sample_dtype)
         return cols * in_x[:, :, None, None]
 
     fxc = fx.astype(sample_dtype)

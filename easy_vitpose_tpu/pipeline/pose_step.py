@@ -36,13 +36,16 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
               *, compute_dtype=jnp.float32, modulate_kernel: int = 11,
               y_bounds=None, flip_pairs=None, attn_impl: str = "einsum",
               unroll: bool = False, sampler: str = "gather",
-              block_impl: str = "xla") -> jnp.ndarray:
+              block_impl: str = "xla",
+              frame_idx: jnp.ndarray = None) -> jnp.ndarray:
     """Run pose estimation for up to M people on one frame.
 
     Args:
       params: ViTPose params pytree (cast to ``compute_dtype`` by the caller
         for bf16 serving).
-      frame: (H, W, 3) uint8 RGB frame (device array).
+      frame: (H, W, 3) uint8 RGB frame (device array) — or a STACK
+        (S, H, W, 3) with ``frame_idx`` mapping each slot to its frame
+        (multi-stream / batched-window serving; boxes stay frame-local).
       boxes: (M, 4) float32 [x1, y1, x2, y2] detector/tracker boxes.
       mask: (M,) bool; False slots are padding.
       cfg: model config.
@@ -51,13 +54,18 @@ def pose_step(params, frame: jnp.ndarray, boxes: jnp.ndarray,
       (M, K, 3) float32 keypoints as (y, x, score) in frame coordinates;
       masked slots are all-zero.
     """
-    geo = crop_geometry(boxes, frame.shape[:2], y_bounds=y_bounds)
+    geo = crop_geometry(boxes, frame.shape[-3:-1], y_bounds=y_bounds)
     # bf16 serving samples crops in bf16 too (error <= the reference's own
     # uint8 resize quantization; halves the sampler's HBM traffic).
     # sampler='matmul' rides the MXU instead of gathers (~26% faster);
     # 'pallas'/'pallas_interpret' is the window-streamed kernel
     # (ops/pallas_sampler.py) that skips out-of-span frame rows.
-    if sampler in ("pallas", "pallas_interpret"):
+    if frame_idx is not None:
+        # stacked-frame mode: only the gather sampler keeps intermediates at
+        # single-frame scale (each crop gathers from its own frame)
+        crops = sample_crops(frame, geo, IMAGE_SIZE,
+                             sample_dtype=compute_dtype, frame_idx=frame_idx)
+    elif sampler in ("pallas", "pallas_interpret"):
         from ..ops.pallas_sampler import sample_crops_pallas
         crops = sample_crops_pallas(frame, geo, IMAGE_SIZE,
                                     sample_dtype=compute_dtype,

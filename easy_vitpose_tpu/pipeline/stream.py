@@ -29,24 +29,17 @@ def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
                       compute_dtype=jnp.bfloat16, block_impl: str = "xla"):
     """Pose over crops drawn from a STACK of frames.
 
-    frames: (S, H, W, 3); boxes: (M, 4); frame_idx: (M,) which stream-frame
-    each box belongs to.  Implemented by sampling each crop from its own
-    frame via a gather on the leading axis inside the crop sampler.
+    frames: (S, H, W, 3); boxes: (M, 4) frame-local coords; frame_idx: (M,)
+    which stream-frame each box belongs to.  Each crop samples from its own
+    frame (gather over the stack axis inside the crop sampler), so boxes
+    stay in frame coordinates, the +/-10px inflation clips at the frame's
+    own edges (reference behaviour), and the interpolation intermediates
+    stay at single-frame scale — a "tall virtual frame" formulation scaled
+    them by S and OOM'd at 16x1080p batched windows.
     """
-    # Select per-box frames by building a "tall" virtual frame: stack frames
-    # vertically and offset each box's y coords by its frame's row offset.
-    S, H, W, C = frames.shape
-    tall = frames.reshape(S * H, W, C)
-    off = (frame_idx * H).astype(jnp.float32)
-    boxes_off = boxes.at[:, 1].add(off)
-    boxes_off = boxes_off.at[:, 3].add(off)
-    # per-crop y bounds stop the +/-10px inflation crossing stream
-    # boundaries (matches the reference's clip-at-frame-edge behaviour)
-    y_bounds = jnp.stack([frame_idx * H, frame_idx * H + H], axis=-1)
-    out = pose_step(params, tall, boxes_off, mask, cfg,
-                    compute_dtype=compute_dtype, y_bounds=y_bounds,
-                    block_impl=block_impl)
-    return out.at[..., 0].add(-off[:, None] * mask[:, None].astype(jnp.float32))
+    return pose_step(params, frames, boxes, mask, cfg,
+                     compute_dtype=compute_dtype, block_impl=block_impl,
+                     frame_idx=frame_idx)
 
 
 class MultiStreamPose:

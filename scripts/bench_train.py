@@ -33,16 +33,13 @@ def main():
     from easy_vitpose_tpu.configs import get_model_config
     from easy_vitpose_tpu.models.vitpose import init_vitpose_params
     from easy_vitpose_tpu.train.step import (init_train_state,
-                                             make_optimizer, make_train_step,
-                                             split_bn_state)
+                                             make_optimizer, make_train_step)
 
     print("devices:", jax.devices(), flush=True)
     cfg = get_model_config("coco", args.size)
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
-    trainable, bn_state = split_bn_state(params)
     tx = make_optimizer(5e-4)
-    state = init_train_state(trainable, tx)
-    state["bn_state"] = bn_state
+    state = init_train_state(params, tx)
     step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
                                    remat=args.remat),
                    donate_argnums=(0,))
