@@ -41,6 +41,10 @@ def build_parser():
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-pipeline", action="store_true",
                    help="synchronous ticks (pipelined is the default)")
+    p.add_argument("--shard-streams", action="store_true",
+                   help="shard the streams across all local devices "
+                        "(data-parallel serving over a jax.sharding mesh; "
+                        "stream count must divide evenly)")
     p.add_argument("--max-ticks", type=int, default=0)
     p.add_argument("--output-path", default="")
     p.add_argument("--save-json", action="store_true")
@@ -74,12 +78,17 @@ def main(argv=None):
         detector = YoloDetector(args.yolo, imgsz=args.yolo_size,
                                 classes=(0,), dtype=dtype, rect=True)
 
+    mesh = None
+    if args.shard_streams:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(axis="batch")
+
     from ..pipeline.stream import MultiStreamPose
     ms = MultiStreamPose(params, cfg, detector=detector,
                          n_streams=len(args.inputs),
                          yolo_step=args.yolo_step,
                          max_people_per_stream=args.max_people_per_stream,
-                         compute_dtype=dtype, quant=quant)
+                         compute_dtype=dtype, quant=quant, mesh=mesh)
 
     readers = [iter(VideoReader(p)) for p in args.inputs]
     logs = [[] for _ in args.inputs]

@@ -118,11 +118,14 @@ def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
     a = attention(layer_norm(x, p["ln1_s"], p["ln1_b"], eps), p, num_heads,
                   impl=attn_impl)
     if drop_path_keep is not None:
-        a = a * drop_path_keep
+        # mask is f32 (1/keep_prob scaling must stay exact); cast the
+        # product back so the bf16-AMP residual stream keeps its dtype
+        # (a f32 carry would break the scan and double HBM traffic)
+        a = (a * drop_path_keep).astype(x.dtype)
     x = x + a
     m = mlp(layer_norm(x, p["ln2_s"], p["ln2_b"], eps), p["mlp"])
     if drop_path_keep is not None:
-        m = m * drop_path_keep
+        m = (m * drop_path_keep).astype(x.dtype)
     return x + m
 
 

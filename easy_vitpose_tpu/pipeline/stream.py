@@ -43,7 +43,9 @@ def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
 
 
 class MultiStreamPose:
-    """Batched multi-stream pose serving over one chip.
+    """Batched multi-stream pose serving over one chip — or over a device
+    mesh (``mesh=``): streams shard across chips and XLA runs the same
+    batched detector/pose programs data-parallel over ICI.
 
     Per tick: call :meth:`step` with one RGB frame per stream (same
     resolution).  Detection cadence follows ``yolo_step`` like the
@@ -53,7 +55,8 @@ class MultiStreamPose:
     def __init__(self, params, cfg: ModelConfig, detector=None,
                  n_streams: int = 8, yolo_step: int = 1,
                  max_people_per_stream: int = 8,
-                 compute_dtype=jnp.bfloat16, quant: bool = False):
+                 compute_dtype=jnp.bfloat16, quant: bool = False,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.detector = detector
@@ -73,13 +76,35 @@ class MultiStreamPose:
             # quantize_vit_params(); compute_dtype should be bf16.
             self.block_impl = ("pallas_q8" if self.block_impl == "pallas"
                                else "xla_q8")
+        # Stream-parallel serving over a device mesh: frames shard on the
+        # stream axis and person slots shard in per-stream blocks (slot
+        # s*max_pp+j belongs to stream s, so each crop's frame gather is
+        # shard-local); params replicate. jit propagates the input
+        # shardings (GSPMD), so the same programs run DP over ICI.
+        self.mesh = mesh
+        if mesh is not None:
+            nd = int(np.prod(list(mesh.shape.values())))
+            assert n_streams % nd == 0, \
+                f"n_streams={n_streams} must be a multiple of mesh size {nd}"
+            from ..parallel.mesh import batch_sharded, replicated
+            axis = mesh.axis_names[0]
+            self._stream_sh = batch_sharded(mesh, axis)
+            self.params = jax.device_put(self.params, replicated(mesh))
+            # GSPMD partitions plain XLA ops across the mesh; a pallas_call
+            # has no partitioning rule under jit, so sharded serving uses
+            # the XLA block (still bf16/int8 per compute_dtype/quant)
+            if self.block_impl.startswith("pallas"):
+                self.block_impl = "xla_q8" if quant else "xla"
 
     # ------------------------------------------------------------ plumbing
 
     def _upload(self, frames):
         assert len(frames) == self.n
-        return (jnp.asarray(np.stack(frames))
-                if not isinstance(frames, jnp.ndarray) else frames)
+        arr = (jnp.asarray(np.stack(frames))
+               if not isinstance(frames, jnp.ndarray) else frames)
+        if self.mesh is not None:
+            arr = jax.device_put(arr, self._stream_sh)
+        return arr
 
     def _dispatch_detect(self, frames_dev):
         """Dispatch detection for this tick (cadence-gated) WITHOUT fetching.
@@ -155,50 +180,51 @@ class MultiStreamPose:
 
     def _track_and_pose(self, frames_dev, boxes_per_stream):
         H, W = frames_dev.shape[1:3]
-        all_boxes, all_ids, all_fidx, stream_of = [], [], [], []
+        # FIXED slot count in per-stream BLOCKS (slot si*max_pp+j = person j
+        # of stream si): track counts drift tick to tick, and letting the
+        # bucket flap between powers of two retriggers XLA compilation of
+        # the pose program mid-stream (~10 s for ViT-H) — serving wants
+        # exactly one compiled shape. The block layout also makes every
+        # crop's frame gather shard-local under stream-parallel meshes.
+        M = self.n * self.max_pp
+        boxes = np.zeros((M, 4), np.float32)
+        mask = np.zeros((M,), bool)
+        fidx = (np.arange(M, dtype=np.int32) // self.max_pp)
+        book = []  # (slot, stream, track_id)
         for si in range(self.n):
             from ..track.sort import sanitize_detections
             tracked = self.trackers[si].update(
                 sanitize_detections(boxes_per_stream[si]))
             tracked = tracked[np.isfinite(tracked[:, :4]).all(1)]
             tracked = tracked[:self.max_pp]
-            for row in tracked:
-                all_boxes.append(row[:4])
-                all_ids.append(int(row[5]))
-                all_fidx.append(si)
-                stream_of.append(si)
+            for j, row in enumerate(tracked):
+                slot = si * self.max_pp + j
+                boxes[slot] = row[:4]
+                mask[slot] = True
+                book.append((slot, si, int(row[5])))
 
-        if not all_boxes:
-            return None, (0, stream_of, all_ids)
-        nb = len(all_boxes)
-        # FIXED slot count: track counts drift tick to tick, and letting the
-        # bucket flap between powers of two retriggers XLA compilation of the
-        # pose program mid-stream (~10 s for ViT-H).  Serving wants exactly
-        # one compiled shape.
-        M = self.n * self.max_pp
-        boxes = np.zeros((M, 4), np.float32)
-        fidx = np.zeros((M,), np.int32)
-        mask = np.zeros((M,), bool)
-        boxes[:nb] = np.stack(all_boxes)
-        # clip to per-stream frame bounds (tall-frame safety)
-        boxes[:nb, 0::2] = np.clip(boxes[:nb, 0::2], 0, W)
-        boxes[:nb, 1::2] = np.clip(boxes[:nb, 1::2], 0, H)
-        fidx[:nb] = all_fidx
-        mask[:nb] = True
+        if not book:
+            return None, book
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, W)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, H)
 
+        boxes_d, fidx_d, mask_d = (jnp.asarray(boxes), jnp.asarray(fidx),
+                                   jnp.asarray(mask))
+        if self.mesh is not None:
+            boxes_d = jax.device_put(boxes_d, self._stream_sh)
+            fidx_d = jax.device_put(fidx_d, self._stream_sh)
+            mask_d = jax.device_put(mask_d, self._stream_sh)
         out = _pose_multi_frame(self.params, frames_dev,
-                                jnp.asarray(boxes), jnp.asarray(fidx),
-                                jnp.asarray(mask), self.cfg,
+                                boxes_d, fidx_d, mask_d, self.cfg,
                                 compute_dtype=self.dtype,
                                 block_impl=self.block_impl)
-        return out, (nb, stream_of, all_ids)  # device handle, no fetch yet
+        return out, book  # device handle, no fetch yet
 
     def _collect(self, out_handle, book) -> List[Dict[int, np.ndarray]]:
-        nb, stream_of, all_ids = book
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
         if out_handle is None:
             return results
         out = np.asarray(out_handle)
-        for i in range(nb):
-            results[stream_of[i]][all_ids[i]] = out[i]
+        for slot, si, tid in book:
+            results[si][tid] = out[slot]
         return results

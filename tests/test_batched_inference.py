@@ -107,6 +107,42 @@ def test_batched_empty_and_single_frame(ckpt_npz):
     assert out == [{}]
 
 
+def test_batched_fuzz_equivalence(ckpt_npz):
+    """Fuzz: random person counts per frame (incl. empty frames), uneven
+    window sizes, yolo_step>1 cadence — batched track IDs and keypoints
+    must match the sequential path on every frame."""
+    rng = np.random.default_rng(11)
+    n_frames = 13
+    frames = _frames(n_frames, seed=5)
+    boxes = []
+    for i in range(n_frames):
+        k = int(rng.integers(0, 4))  # 0..3 people
+        if k == 0:
+            boxes.append(np.empty((0, 5), np.float32))
+        else:
+            x1 = rng.uniform(0, 200, k)
+            y1 = rng.uniform(0, 120, k)
+            b = np.stack([x1, y1, x1 + rng.uniform(40, 110, k),
+                          y1 + rng.uniform(60, 110, k),
+                          rng.uniform(0.5, 1.0, k)], -1).astype(np.float32)
+            boxes.append(b)
+
+    seq = _mk(ckpt_npz, yolo_step=2)
+    seq_out = [seq.inference(f, bboxes=b) for f, b in zip(frames, boxes)]
+
+    bat = _mk(ckpt_npz, yolo_step=2)
+    got = []
+    for s, e in ((0, 5), (5, 6), (6, 13)):  # uneven windows
+        got += bat.inference_batched(frames[s:e],
+                                     bboxes_per_frame=boxes[s:e])
+
+    for i, (a, b) in enumerate(zip(seq_out, got)):
+        assert set(a) == set(b), f"frame {i}: ids {set(b)} != {set(a)}"
+        for pid in a:
+            np.testing.assert_allclose(b[pid], a[pid], atol=1e-3,
+                                       err_msg=f"frame {i} id {pid}")
+
+
 def test_batched_draw_state_replay(ckpt_npz):
     """select_frame_state points draw() at each frame of the window."""
     frames = _frames(3)

@@ -124,3 +124,21 @@ def test_set_learning_rate(setup):
         return s
     jax.tree.map(visit, new_opt, is_leaf=lambda s: hasattr(s, "hyperparams"))
     assert found and all(abs(v - 1e-5) < 1e-12 for v in found)
+
+
+def test_amp_train_step_with_drop_path():
+    """Regression: bf16-AMP training with stochastic depth (the default
+    B/L/H recipes set drop_path_rate>0) must keep the scan carry bf16 —
+    the f32 drop-path mask used to promote the residual stream to f32 and
+    crash the lax.scan with a carry-dtype mismatch."""
+    from dataclasses import replace
+    cfg0 = CASES["tiny"]
+    cfg = replace(cfg0, backbone=replace(cfg0.backbone, drop_path_rate=0.3))
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    tx = trainlib.make_optimizer(1e-3)
+    state = trainlib.init_train_state(params, tx)
+    step = jax.jit(trainlib.make_train_step(cfg, tx, use_amp=True))
+    rng = np.random.default_rng(3)
+    new_state, metrics = step(state, make_batch(rng, 4), jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state["step"]) == 1
