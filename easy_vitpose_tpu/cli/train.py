@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=210)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--fused-block", action="store_true",
+                   help="custom-VJP fused Pallas transformer block "
+                        "(fast TPU training path; models/fused_block_train.py)")
     p.add_argument("--workers", type=int, default=0,
                    help="spawn-pool dataset workers (the reference's "
                         "workers_per_gpu; 0 = background thread)")
@@ -69,6 +72,8 @@ def main(argv=None):
         total_epochs=overrides.get("total_epochs", args.epochs),
         batch_size=overrides.get("batch_size", args.batch_size),
         use_amp=overrides.get("use_amp", not args.no_amp),
+        block_impl=("pallas_train" if args.fused_block
+                    or overrides.get("fused_block") else "xla"),
         save_interval=overrides.get("save_interval", 10),
         early_stop_patience=overrides.get("early_stop_patience", 15),
         freeze_backbone=args.freeze_backbone or

@@ -1,0 +1,514 @@
+"""Custom-VJP fused transformer block for TRAINING.
+
+The serving fused block (models/fused_block.py) is forward-only; training
+ran the plain XLA block at ~29% step MFU (PERF.md) because every
+inter-matmul tensor round-trips HBM in both the forward and backward
+passes.  This module implements the whole pre-LN block as a
+``jax.custom_vjp`` with three Pallas kernels:
+
+* **forward** — the serving kernel plus (a) per-crop drop-path masks
+  (stochastic depth; the default B/L/H recipes train with it) and (b) a
+  second output ``x1 = x + attn_branch`` saved as the residual for the
+  backward MLP kernel (one extra R x D write per layer; recomputing x1 in
+  backward would force the attention forward to run twice).
+* **backward-MLP** — given (x1, dout): recompute LN2/fc1/GELU in VMEM,
+  produce dx1 and the fc1/fc2/LN2 weight grads.
+* **backward-ATTN** — given (x, dx1): recompute LN1/qkv/softmax in VMEM,
+  produce dx and the qkv/proj/LN1 weight grads.
+
+Weight grads accumulate across grid steps into constant-index_map output
+blocks (the TPU grid is sequential, so += into a revisited VMEM block is
+well-defined; step 0 zero-initializes).  All math is f32-accumulated like
+the XLA block; gradient equality vs ``jax.grad`` of the XLA block is
+pinned in tests/test_fused_block_train.py.
+
+Backward math (f32):
+  LN:    dx = (1/sigma) * (dxhat - mean(dxhat) - xhat * mean(dxhat*xhat)),
+         dxhat = dh * scale;  dscale = sum(dh*xhat);  dbias = sum(dh)
+  GELU': Phi(x) + x*phi(x),  Phi = 0.5*(1+erf(x/sqrt2)),
+         phi = exp(-x^2/2)/sqrt(2*pi)
+  softmax: dlogits = P * (dP - rowsum(dP * P))
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import BackboneConfig
+from .fused_block import _erf, _gelu_exact
+
+Params = Dict[str, Any]
+
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _gelu_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """d/dx of the exact-erf GELU, f32."""
+    cdf = 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT2PI
+    return cdf + x * pdf
+
+
+def _ln_fwd(v, s, b, eps):
+    """f32 LN returning (y, xhat, inv_sigma)."""
+    vf = v.astype(jnp.float32)
+    mean = jnp.mean(vf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(vf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (vf - mean) * inv
+    return xhat * s + b, xhat, inv
+
+
+def _ln_bwd(dh, xhat, inv, s):
+    """f32 LN input-gradient given upstream dh; also (dscale, dbias)."""
+    dxhat = dh * s
+    dx = inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    return dx, jnp.sum(dh * xhat, axis=0), jnp.sum(dh, axis=0)
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+                ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
+                out_ref, x1_ref,
+                *, G: int, N: int, D: int, num_heads: int, eps: float):
+    hd = D // num_heads
+    x = x_ref[:].reshape(G * N, D)
+    dt = x.dtype
+    # per-crop drop-path keep (already scaled by 1/keep_prob): the full
+    # (B, 1) scalar vector sits in SMEM (block == array — blocked SMEM
+    # specs hit the same (8,128) tiling rule as VMEM); index by grid step
+    base = pl.program_id(0) * G
+    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
+                          for g in range(G)], axis=0)
+
+    h, _, _ = _ln_fwd(x, ln1_s[0].astype(jnp.float32),
+                      ln1_b[0].astype(jnp.float32), eps)
+    h = h.astype(dt)
+    qkv = (jnp.dot(h, qkv_w[:], preferred_element_type=jnp.float32)
+           + qkv_b[0].astype(jnp.float32)).astype(dt)
+    scale = hd ** -0.5
+    rows_out = []
+    for g in range(G):
+        rows = slice(g * N, (g + 1) * N)
+        head_cols = []
+        for hh in range(num_heads):
+            c = hh * hd
+            q = qkv[rows, c:c + hd]
+            k = qkv[rows, D + c:D + c + hd]
+            v = qkv[rows, 2 * D + c:2 * D + c + hd]
+            logits = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            o = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+            head_cols.append(o.astype(dt))
+        rows_out.append(jnp.concatenate(head_cols, axis=-1))
+    attn = jnp.concatenate(rows_out, axis=0)
+    a = (jnp.dot(attn, proj_w[:], preferred_element_type=jnp.float32)
+         + proj_b[0].astype(jnp.float32))
+    x1 = (x.astype(jnp.float32) + a * dp).astype(dt)
+    x1_ref[:] = x1.reshape(G, N, D)
+
+    h2, _, _ = _ln_fwd(x1, ln2_s[0].astype(jnp.float32),
+                       ln2_b[0].astype(jnp.float32), eps)
+    h2 = h2.astype(dt)
+    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+         + fc1_b[0].astype(jnp.float32))
+    g = _gelu_exact(m).astype(dt)
+    m2 = (jnp.dot(g, fc2_w[:], preferred_element_type=jnp.float32)
+          + fc2_b[0].astype(jnp.float32))
+    out_ref[:] = (x1.astype(jnp.float32) + m2 * dp).astype(dt).reshape(G, N, D)
+
+
+# ---------------------------------------------------------- backward: MLP
+
+def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                    fc1_w, fc1_b, fc2_w,
+                    dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
+                    dln2s_ref, dln2b_ref, dh2_acc,
+                    *, G: int, N: int, D: int, eps: float, nj: int):
+    """Grid (batch tiles i, hidden chunks j).  Hidden chunking bounds VMEM
+    for wide MLPs (ViT-L/H): per (i, j) step only the j-th fc1/fc2 weight
+    columns/rows and their f32 grad accumulators are resident.  dh2 (the
+    full-width LN2 upstream) accumulates across j in a persistent scratch;
+    the LN2 backward and dx1 write happen at the last chunk."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    first_tile = i == 0
+
+    x1 = x1_ref[:].reshape(G * N, D)
+    dt = x1.dtype
+    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
+    base = i * G
+    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
+                          for g in range(G)], axis=0)
+
+    s2 = ln2_s[0].astype(jnp.float32)
+    h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
+    h2 = h2f.astype(dt)
+    # j-th hidden chunk only
+    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+         + fc1_b[0].astype(jnp.float32))                 # (R, Hc)
+    g = _gelu_exact(m).astype(dt)
+
+    dm2 = dout * dp                                      # (R, D) f32
+    dm2c = dm2.astype(dt)
+    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (R, Hc)
+    dm1 = dg * _gelu_grad(m)
+    dm1c = dm1.astype(dt)
+    dh2_j = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dh2_acc[:] = jnp.zeros_like(dh2_acc)
+
+    dh2_acc[:] += dh2_j
+
+    dW2 = jax.lax.dot_general(g, dm2c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dW1 = jax.lax.dot_general(h2, dm1c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(first_tile)
+    def _():
+        dfc1w_ref[:] = jnp.zeros_like(dfc1w_ref)
+        dfc1b_ref[:] = jnp.zeros_like(dfc1b_ref)
+        dfc2w_ref[:] = jnp.zeros_like(dfc2w_ref)
+
+    @pl.when(first_tile & (j == 0))
+    def _():
+        dfc2b_ref[:] = jnp.zeros_like(dfc2b_ref)
+        dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
+
+    dfc1w_ref[:] += dW1
+    dfc1b_ref[:] += jnp.sum(dm1, axis=0)[None]
+    dfc2w_ref[:] += dW2
+
+    @pl.when(j == 0)
+    def _():
+        # dm2 is identical for every hidden chunk; count it once per tile
+        dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
+
+    @pl.when(j == nj - 1)
+    def _():
+        dx1_ln, ds2, db2ln = _ln_bwd(dh2_acc[:], xhat2, inv2, s2)
+        dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
+        dln2s_ref[:] += ds2[None]
+        dln2b_ref[:] += db2ln[None]
+
+
+# --------------------------------------------------------- backward: ATTN
+
+def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
+                     qkv_w, qkv_b, proj_w,
+                     dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref, dprojb_ref,
+                     dln1s_ref, dln1b_ref,
+                     *, G: int, N: int, D: int, num_heads: int, eps: float):
+    first = pl.program_id(0) == 0
+    hd = D // num_heads
+
+    x = x_ref[:].reshape(G * N, D)
+    dt = x.dtype
+    dx1 = dx1_ref[:].reshape(G * N, D).astype(jnp.float32)
+    base = pl.program_id(0) * G
+    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
+                          for g in range(G)], axis=0)
+
+    s1 = ln1_s[0].astype(jnp.float32)
+    h1f, xhat1, inv1 = _ln_fwd(x, s1, ln1_b[0].astype(jnp.float32), eps)
+    h1 = h1f.astype(dt)
+    qkv = (jnp.dot(h1, qkv_w[:], preferred_element_type=jnp.float32)
+           + qkv_b[0].astype(jnp.float32)).astype(dt)
+    scale = hd ** -0.5
+
+    da = dx1 * dp                                        # (R, D) f32
+    dac = da.astype(dt)
+    dattn = jax.lax.dot_general(dac, proj_w[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    attn_rows = []
+    dqkv_rows = []
+    for g in range(G):
+        rows = slice(g * N, (g + 1) * N)
+        head_o, head_dq, head_dk, head_dv = [], [], [], []
+        for hh in range(num_heads):
+            c = hh * hd
+            q = qkv[rows, c:c + hd]
+            k = qkv[rows, D + c:D + c + hd]
+            v = qkv[rows, 2 * D + c:2 * D + c + hd]
+            logits = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            probs_f = jax.nn.softmax(logits, axis=-1)    # (N, N) f32
+            probs = probs_f.astype(dt)
+            o = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+            head_o.append(o.astype(dt))
+
+            do = dattn[rows, c:c + hd].astype(dt)        # (N, hd)
+            dP = jax.lax.dot_general(                    # do @ v^T
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(                    # P^T @ do
+                probs, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlog = probs_f * (dP - jnp.sum(dP * probs_f, axis=-1,
+                                           keepdims=True))
+            dlogc = dlog.astype(dt)
+            dq = jnp.dot(dlogc, k,
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(                    # dlog^T @ q
+                dlogc, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            head_dq.append(dq)
+            head_dk.append(dk)
+            head_dv.append(dv)
+        attn_rows.append(jnp.concatenate(head_o, axis=-1))
+        dqkv_rows.append(jnp.concatenate(
+            head_dq + head_dk + head_dv, axis=-1))       # (N, 3D)
+    attn = jnp.concatenate(attn_rows, axis=0)            # (R, D)
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)            # (R, 3D) f32
+    dqkvc = dqkv.astype(dt)
+
+    dh1 = jax.lax.dot_general(dqkvc, qkv_w[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx_ln, ds1, db1ln = _ln_bwd(dh1, xhat1, inv1, s1)
+    dx_ref[:] = (dx1 + dx_ln).astype(dt).reshape(G, N, D)
+
+    dWqkv = jax.lax.dot_general(h1, dqkvc, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dWp = jax.lax.dot_general(attn, dac, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _():
+        dqkvw_ref[:] = jnp.zeros_like(dqkvw_ref)
+        dqkvb_ref[:] = jnp.zeros_like(dqkvb_ref)
+        dprojw_ref[:] = jnp.zeros_like(dprojw_ref)
+        dprojb_ref[:] = jnp.zeros_like(dprojb_ref)
+        dln1s_ref[:] = jnp.zeros_like(dln1s_ref)
+        dln1b_ref[:] = jnp.zeros_like(dln1b_ref)
+
+    dqkvw_ref[:] += dWqkv
+    dqkvb_ref[:] += jnp.sum(dqkv, axis=0)[None]
+    dprojw_ref[:] += dWp
+    dprojb_ref[:] += jnp.sum(da, axis=0)[None]
+    dln1s_ref[:] += ds1[None]
+    dln1b_ref[:] += db1ln[None]
+
+
+# ------------------------------------------------------------- plumbing
+
+from jax.experimental import pallas as pl          # noqa: E402
+from jax.experimental.pallas import tpu as pltpu   # noqa: E402
+
+_VMEM = 110 * 1024 * 1024
+
+
+def _tile(D: int) -> int:
+    return 2 if D <= 768 else 4
+
+
+def _row(v):
+    return v.reshape(1, -1)
+
+
+def _weights_fwd(p):
+    return [_row(p["ln1_s"]), _row(p["ln1_b"]), p["qkv_w"], _row(p["qkv_b"]),
+            p["proj_w"], _row(p["proj_b"]), _row(p["ln2_s"]),
+            _row(p["ln2_b"]), p["mlp"]["fc1_w"], _row(p["mlp"]["fc1_b"]),
+            p["mlp"]["fc2_w"], _row(p["mlp"]["fc2_b"])]
+
+
+def _pad(x, G):
+    B = x.shape[0]
+    pad = (-B) % G
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    return x, B, B + pad
+
+
+def _const_specs(ws):
+    return [pl.BlockSpec(w.shape, lambda i: tuple(0 for _ in w.shape),
+                         memory_space=pltpu.VMEM) for w in ws]
+
+
+def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
+    B0, N, D = x.shape
+    G = min(_tile(D), B0)
+    x, B, Bp = _pad(x, G)
+    dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
+    ws = _weights_fwd(p)
+    kern = functools.partial(_fwd_kernel, G=G, N=N, D=D,
+                             num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
+    tok_spec = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec((Bp, 1), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    out, x1 = pl.pallas_call(
+        kern,
+        grid=(Bp // G,),
+        in_specs=[tok_spec, dp_spec] + _const_specs(ws),
+        out_specs=(tok_spec, tok_spec),
+        out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((Bp, N, D), x.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(x, dp, *ws)
+    return out[:B], x1[:B]
+
+
+def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
+                          interpret: bool):
+    B0, N, D = x.shape
+    hidden = p["mlp"]["fc1_w"].shape[-1]
+    G = min(_tile(D), B0)
+    x, B, Bp = _pad(x, G)
+    x1, _, _ = _pad(x1, G)
+    dout, _, _ = _pad(dout, G)
+    dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
+    tok_spec = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec((Bp, 1), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    def acc_specs(shapes):
+        """Constant-index accumulator outputs (f32)."""
+        specs, shps = [], []
+        for s in shapes:
+            specs.append(pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
+                                      memory_space=pltpu.VMEM))
+            shps.append(jax.ShapeDtypeStruct(s, jnp.float32))
+        return specs, shps
+
+    # ---- MLP backward (grid: batch tiles x hidden chunks) ----
+    # hidden chunking bounds VMEM for wide MLPs: without it the f32
+    # dW1/dW2 accumulators alone are ~52 MB for ViT-H
+    nj = 1 if D <= 768 else (2 if D <= 1024 else 4)
+    if hidden % nj:
+        nj = 1
+    Hc = hidden // nj
+    ws_mlp = [_row(p["ln2_s"]), _row(p["ln2_b"]), p["mlp"]["fc1_w"],
+              _row(p["mlp"]["fc1_b"]), p["mlp"]["fc2_w"]]
+    tok2 = pl.BlockSpec((G, N, D), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def const2(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    mlp_in_specs = [
+        tok2, tok2,
+        pl.BlockSpec((Bp, 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        const2((1, D)), const2((1, D)),                       # ln2 s/b
+        pl.BlockSpec((D, Hc), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),                # fc1_w chunk
+        pl.BlockSpec((1, Hc), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),                # fc1_b chunk
+        pl.BlockSpec((Hc, D), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),                # fc2_w chunk
+    ]
+    mlp_out_specs = (
+        tok2,
+        pl.BlockSpec((D, Hc), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),                # dW1
+        pl.BlockSpec((1, Hc), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),                # db1
+        pl.BlockSpec((Hc, D), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),                # dW2
+        const2((1, D)), const2((1, D)), const2((1, D)),       # db2, ds2, db
+    )
+    mlp_out_shapes = (
+        jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+        jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((hidden, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+    )
+    kern = functools.partial(_bwd_mlp_kernel, G=G, N=N, D=D,
+                             eps=cfg.layer_norm_eps, nj=nj)
+    dx1, dW1, db1, dW2, db2, ds2, dbeta2 = pl.pallas_call(
+        kern,
+        grid=(Bp // G, nj),
+        in_specs=mlp_in_specs,
+        out_specs=mlp_out_specs,
+        out_shape=mlp_out_shapes,
+        scratch_shapes=[pltpu.VMEM((G * N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(x1, dout, dp, *ws_mlp)
+
+    # ---- attention backward ----
+    ws_attn = [_row(p["ln1_s"]), _row(p["ln1_b"]), p["qkv_w"],
+               _row(p["qkv_b"]), p["proj_w"]]
+    attn_acc_specs, attn_acc_shapes = acc_specs(
+        [(D, 3 * D), (1, 3 * D), (D, D), (1, D), (1, D), (1, D)])
+    kern = functools.partial(_bwd_attn_kernel, G=G, N=N, D=D,
+                             num_heads=cfg.num_heads,
+                             eps=cfg.layer_norm_eps)
+    dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = pl.pallas_call(
+        kern,
+        grid=(Bp // G,),
+        in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_attn),
+        out_specs=(tok_spec, *attn_acc_specs),
+        out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                   *attn_acc_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        interpret=interpret,
+    )(x, dx1, dp, *ws_attn)
+
+    def like(g, ref):
+        return g.reshape(ref.shape).astype(ref.dtype)
+
+    dparams = {
+        "ln1_s": like(ds1, p["ln1_s"]), "ln1_b": like(dbeta1, p["ln1_b"]),
+        "qkv_w": like(dWqkv, p["qkv_w"]), "qkv_b": like(dbqkv, p["qkv_b"]),
+        "proj_w": like(dWp, p["proj_w"]), "proj_b": like(dbp, p["proj_b"]),
+        "ln2_s": like(ds2, p["ln2_s"]), "ln2_b": like(dbeta2, p["ln2_b"]),
+        "mlp": {
+            "fc1_w": like(dW1, p["mlp"]["fc1_w"]),
+            "fc1_b": like(db1, p["mlp"]["fc1_b"]),
+            "fc2_w": like(dW2, p["mlp"]["fc2_w"]),
+            "fc2_b": like(db2, p["mlp"]["fc2_b"]),
+        },
+    }
+    return dx[:B], dparams
+
+
+def make_fused_block_train(cfg: BackboneConfig, interpret: bool = False):
+    """Build the custom-VJP fused training block for a given config.
+
+    Returns ``f(x, p, dp_keep) -> out`` where ``dp_keep`` is the (B,)
+    pre-scaled drop-path keep mask (ones = no drop-path).  Differentiable
+    in ``x`` and ``p``; the mask is treated as a constant (it is a Bernoulli
+    draw, exactly like the XLA path's stop-gradient-free mask multiply —
+    its gradient is never used).
+    """
+
+    @jax.custom_vjp
+    def block(x, p, dp_keep):
+        out, _ = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
+        return out
+
+    def fwd(x, p, dp_keep):
+        out, x1 = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
+        return out, (x, x1, p, dp_keep)
+
+    def bwd(res, dout):
+        x, x1, p, dp_keep = res
+        dx, dp_grads = _fused_train_bwd_impl(x, x1, dout, dp_keep, p, cfg,
+                                             interpret)
+        return dx, dp_grads, jnp.zeros_like(dp_keep)
+
+    block.defvjp(fwd, bwd)
+    return block

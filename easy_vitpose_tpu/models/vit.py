@@ -152,6 +152,9 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
         'xla_q8' / 'pallas_q8' / 'pallas_q8_interpret' are the int8 W8A8
         twins (models/quant.py) and require ``params["blocks"]`` produced
         by :func:`..models.quant.quantize_vit_params`.
+        'pallas_train' / 'pallas_train_interpret' is the custom-VJP fused
+        block (models/fused_block_train.py): fused Pallas forward AND
+        backward, drop-path supported — the fast TRAINING path.
 
     Returns:
       (B, Hp, Wp, D) feature map, NHWC.
@@ -177,6 +180,8 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
 
     use_pallas = block_impl in ("pallas", "pallas_interpret")
     use_q8 = block_impl in ("xla_q8", "pallas_q8", "pallas_q8_interpret")
+    use_fused_train = block_impl in ("pallas_train",
+                                     "pallas_train_interpret")
     if use_pallas or use_q8:
         assert not use_dp, "fused/int8 blocks are serving paths (no drop-path)"
     if use_pallas:
@@ -185,6 +190,10 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
         from .quant import block_q8, fused_block_q8, is_q8_blocks
         assert is_q8_blocks(params["blocks"]), \
             "block_impl=*_q8 needs params from quantize_vit_params()"
+    if use_fused_train:
+        from .fused_block_train import make_fused_block_train
+        fused_train = make_fused_block_train(
+            cfg, interpret=(block_impl == "pallas_train_interpret"))
 
     def body(carry, layer):
         p, mask = (layer, None) if masks is None else layer
@@ -197,6 +206,10 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
             out = fused_block_q8(
                 carry, p, cfg,
                 interpret=(block_impl == "pallas_q8_interpret"))
+        elif use_fused_train:
+            dpk = (jnp.ones((B,), jnp.float32) if mask is None
+                   else mask.reshape(B))
+            out = fused_train(carry, p, dpk)
         else:
             out = block(carry, p, cfg.num_heads, cfg.layer_norm_eps, mask,
                         attn_impl=attn_impl)

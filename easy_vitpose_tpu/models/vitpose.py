@@ -34,10 +34,15 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
 
 def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                           rng: Optional[jax.Array] = None,
-                          remat: bool = False) -> Tuple[jnp.ndarray, Any]:
-    """Training forward: returns (heatmaps NCHW, new_bn_state)."""
+                          remat: bool = False,
+                          block_impl: str = "xla") -> Tuple[jnp.ndarray, Any]:
+    """Training forward: returns (heatmaps NCHW, new_bn_state).
+
+    block_impl='pallas_train' selects the custom-VJP fused block
+    (models/fused_block_train.py) — fused forward AND backward on TPU.
+    """
     feats = vit_forward(params["backbone"], x, cfg.backbone, train=True,
-                        rng=rng, remat=remat)
+                        rng=rng, remat=remat, block_impl=block_impl)
     heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
 

@@ -33,6 +33,7 @@ class TrainSettings:
     total_epochs: int = 210
     batch_size: int = 64
     use_amp: bool = True
+    block_impl: str = "xla"              # 'pallas_train' = fused VJP kernels
     lr_factor: float = 0.1               # ReduceLROnPlateau factor
     lr_patience: int = 4                 # epochs without val improvement
     save_interval: int = 10
@@ -105,7 +106,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             f"(step {int(state['step'])})")
     state = meshlib.replicate(mesh, state)
     train_step = steplib.jit_data_parallel(
-        steplib.make_train_step(cfg, tx, use_amp=settings.use_amp), mesh)
+        steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
+                                block_impl=settings.block_impl), mesh)
     eval_step = jax.jit(
         steplib.make_eval_step(cfg, use_amp=settings.use_amp),
         in_shardings=(meshlib.replicated(mesh), meshlib.batch_sharded(mesh)),

@@ -154,11 +154,15 @@ def merge_bn_state(params, bn_state):
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, use_amp: bool = True, remat: bool = False,
-                    loss_fn: Callable = joints_mse_loss):
+                    loss_fn: Callable = joints_mse_loss,
+                    block_impl: str = "xla"):
     """Build the jittable train step.
 
     Batch: dict(images (B,256,192,3) f32 normalized NHWC,
                 targets (B,K,64,48), target_weights (B,K,1)).
+    block_impl='pallas_train' runs the backbone blocks through the
+    custom-VJP fused Pallas kernels (fast TPU training path; remat is
+    implicit — the kernels recompute everything from (x, x1) in VMEM).
     """
 
     def step(state, batch, rng):
@@ -167,7 +171,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             fwd_params = cast_params(params, jnp.bfloat16) if use_amp else params
             x = batch["images"].astype(jnp.bfloat16 if use_amp else jnp.float32)
             heat, new_bn = vitpose_forward_train(fwd_params, x, cfg,
-                                                 rng=rng, remat=remat)
+                                                 rng=rng, remat=remat,
+                                                 block_impl=block_impl)
             loss = loss_fn(heat, batch["targets"], batch["target_weights"])
             return loss, new_bn
 

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="custom-VJP fused Pallas train block")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,9 @@ def main():
     tx = make_optimizer(5e-4)
     state = init_train_state(params, tx)
     step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
-                                   remat=args.remat),
+                                   remat=args.remat,
+                                   block_impl="pallas_train" if args.fused
+                                   else "xla"),
                    donate_argnums=(0,))
 
     B, K = args.batch, cfg.head.num_keypoints
@@ -75,7 +79,7 @@ def main():
     # fwd 12*D^2/token matmul FLOPs + attn; bwd ~2x fwd
     result = {
         "size": args.size, "batch": B,
-        "amp": not args.fp32, "remat": args.remat,
+        "amp": not args.fp32, "remat": args.remat, "fused": args.fused,
         "ms_per_step": round(med, 2),
         "imgs_per_s": round(B / (med / 1e3), 1),
     }
