@@ -295,3 +295,28 @@ def test_multitask_finetune_step(plus_sd):
             losses[t].append(float(metrics["loss"]))
     for t in TASKS:
         assert losses[t][-1] < losses[t][0], (t, losses[t])
+
+
+def test_vitinference_plus_int8(plus_sd, tmp_path):
+    """dtype='int8' composes with task splicing: the selected task's
+    single-task tree quantizes like any other checkpoint."""
+    import jax.numpy as jnp
+    from easy_vitpose_tpu import VitInference
+    from easy_vitpose_tpu.convert.vitpose_plus import \
+        convert_vitpose_plus_state_dict
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    plus = str(tmp_path / "vitpose-plus-q8.npz")
+    save_params(plus, convert_vitpose_plus_state_dict(plus_sd, CFG))
+    task = TASKS[0]
+    cfg_t = dataclasses.replace(CFG, head=dataclasses.replace(
+        CFG.head, num_keypoints=TASK_K[task]))
+    m = VitInference(plus, model_name="s", model_cfg=cfg_t, task=task,
+                     dtype="int8")
+    assert m.quant
+    assert m._params["backbone"]["blocks"]["qkv_wq"].dtype == jnp.int8
+    frame = np.random.default_rng(3).integers(0, 255, (240, 320, 3),
+                                              np.uint8)
+    out = m.inference(frame, bboxes=np.array([[30, 20, 160, 200, 0.9]],
+                                             np.float32))[0]
+    assert out.shape == (TASK_K[task], 3) and np.isfinite(out).all()
