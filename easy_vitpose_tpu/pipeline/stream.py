@@ -90,13 +90,33 @@ class MultiStreamPose:
             axis = mesh.axis_names[0]
             self._stream_sh = batch_sharded(mesh, axis)
             self.params = jax.device_put(self.params, replicated(mesh))
-            # GSPMD partitions plain XLA ops across the mesh; a pallas_call
-            # has no partitioning rule under jit, so sharded serving uses
-            # the XLA block (still bf16/int8 per compute_dtype/quant)
-            if self.block_impl.startswith("pallas"):
-                self.block_impl = "xla_q8" if quant else "xla"
+            self._sharded_pose = self._build_sharded_pose(mesh, axis)
 
     # ------------------------------------------------------------ plumbing
+
+    def _build_sharded_pose(self, mesh, axis):
+        """Stream-parallel pose tick via shard_map: each device runs the
+        SAME single-chip pose program (including the fused/int8 Pallas
+        kernels, which have no GSPMD partitioning rule and so couldn't run
+        under a plain sharded jit) over its local streams.  The per-stream
+        block slot layout makes everything shard-local: a shard with k
+        streams holds slots [0, k*max_pp) whose local frame index is just
+        slot // max_pp — no collectives at all."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        max_pp = self.max_pp
+        cfg, dtype, impl = self.cfg, self.dtype, self.block_impl
+
+        def inner(params, frames, boxes, mask):
+            fidx = jnp.arange(boxes.shape[0], dtype=jnp.int32) // max_pp
+            return pose_step(params, frames, boxes, mask, cfg,
+                             compute_dtype=dtype, block_impl=impl,
+                             frame_idx=fidx)
+
+        return jax.jit(shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_rep=False))
 
     def _upload(self, frames):
         assert len(frames) == self.n
@@ -208,16 +228,17 @@ class MultiStreamPose:
         boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, W)
         boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, H)
 
-        boxes_d, fidx_d, mask_d = (jnp.asarray(boxes), jnp.asarray(fidx),
-                                   jnp.asarray(mask))
         if self.mesh is not None:
-            boxes_d = jax.device_put(boxes_d, self._stream_sh)
-            fidx_d = jax.device_put(fidx_d, self._stream_sh)
-            mask_d = jax.device_put(mask_d, self._stream_sh)
-        out = _pose_multi_frame(self.params, frames_dev,
-                                boxes_d, fidx_d, mask_d, self.cfg,
-                                compute_dtype=self.dtype,
-                                block_impl=self.block_impl)
+            boxes_d = jax.device_put(jnp.asarray(boxes), self._stream_sh)
+            mask_d = jax.device_put(jnp.asarray(mask), self._stream_sh)
+            out = self._sharded_pose(self.params, frames_dev, boxes_d,
+                                     mask_d)
+        else:
+            out = _pose_multi_frame(self.params, frames_dev,
+                                    jnp.asarray(boxes), jnp.asarray(fidx),
+                                    jnp.asarray(mask), self.cfg,
+                                    compute_dtype=self.dtype,
+                                    block_impl=self.block_impl)
         return out, book  # device handle, no fetch yet
 
     def _collect(self, out_handle, book) -> List[Dict[int, np.ndarray]]:

@@ -77,3 +77,22 @@ def test_sharded_requires_divisible_streams(setup):
     mesh = make_mesh(axis="batch")
     with pytest.raises(AssertionError, match="multiple of mesh size"):
         MultiStreamPose(params, cfg, n_streams=6, mesh=mesh)
+
+
+def test_sharded_pallas_kernel_under_shard_map(setup):
+    """The fused Pallas block runs per-device under shard_map (no GSPMD
+    partitioning rule needed) — results equal the XLA sharded path."""
+    cfg, params, frames, boxes = setup
+    mesh = make_mesh(axis="batch")
+    a = MultiStreamPose(params, cfg, n_streams=8, max_people_per_stream=2,
+                        compute_dtype=jnp.float32, mesh=mesh)
+    b = MultiStreamPose(params, cfg, n_streams=8, max_people_per_stream=2,
+                        compute_dtype=jnp.float32, mesh=mesh)
+    b.block_impl = "pallas_interpret"
+    b._sharded_pose = b._build_sharded_pose(mesh, "batch")
+    ra = a.step(list(frames[0]), boxes_per_stream=boxes[0])
+    rb = b.step(list(frames[0]), boxes_per_stream=boxes[0])
+    for sa, sb in zip(ra, rb):
+        assert set(sa) == set(sb)
+        for tid in sa:
+            np.testing.assert_allclose(sb[tid], sa[tid], atol=1e-3)
