@@ -79,14 +79,54 @@ def moe_block(x, p, num_heads: int, eps: float,
 
 
 def vit_plus_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
-                     expert_idx=None, expert_onehot=None) -> jnp.ndarray:
-    """MoE backbone: (B, H, W, 3) -> (B, Hp, Wp, D) features."""
+                     expert_idx=None, expert_onehot=None,
+                     block_impl: str = "xla") -> jnp.ndarray:
+    """MoE backbone: (B, H, W, 3) -> (B, Hp, Wp, D) features.
+
+    block_impl='pallas_train'/'pallas_train_interpret' (requires a STATIC
+    python-int ``expert_idx``, i.e. task-homogeneous finetuning) runs the
+    blocks through the custom-VJP fused kernel: the task's expert slice
+    concatenates with the shared fc2 slice into a standard dense fc2
+    OUTSIDE the kernel, and autodiff scatters the fc2 gradient back to the
+    shared slice and exactly the selected expert (others stay exact-zero,
+    preserving the ViTPose+ freeze semantics in train/moe_step.py).
+    """
     bb = cfg.backbone
     B = x.shape[0]
     tokens = patch_embed(x, params["patch_w"], params["patch_b"],
                          bb.patch_size, bb.patch_padding)
     pe = params["pos_embed"]
     tokens = tokens + (pe[:, 1:] + pe[:, :1]).astype(tokens.dtype)
+
+    if block_impl in ("pallas_train", "pallas_train_interpret"):
+        assert expert_onehot is None and expert_idx is not None \
+            and not isinstance(expert_idx, jnp.ndarray), \
+            "fused MoE training needs a static task (homogeneous batch)"
+        from .fused_block_train import make_fused_block_train
+        blocks = params["blocks"]
+        m = blocks["mlp"]
+        eff = {k: blocks[k] for k in ("ln1_s", "ln1_b", "qkv_w", "qkv_b",
+                                      "proj_w", "proj_b", "ln2_s", "ln2_b")}
+        eff["mlp"] = {
+            "fc1_w": m["fc1_w"], "fc1_b": m["fc1_b"],
+            "fc2_w": jnp.concatenate(
+                [m["fc2_w"], m["fc2_expert_w"][:, expert_idx]], axis=-1),
+            "fc2_b": jnp.concatenate(
+                [m["fc2_b"], m["fc2_expert_b"][:, expert_idx]], axis=-1),
+        }
+        fused = make_fused_block_train(
+            bb, interpret=(block_impl == "pallas_train_interpret"))
+        ones = jnp.ones((B,), jnp.float32)
+
+        def body(carry, layer):
+            return fused(carry, layer, ones), None
+
+        tokens, _ = jax.lax.scan(body, tokens, eff)
+        tokens = layer_norm(tokens, params["ln_s"], params["ln_b"],
+                            bb.layer_norm_eps)
+        Hp, Wp = bb.patch_shape
+        return tokens.reshape(B, Hp, Wp, bb.embed_dim)
+
     if expert_idx is not None and not isinstance(expert_idx, jnp.ndarray):
         expert_idx = jnp.asarray(expert_idx, jnp.int32)
 
@@ -125,14 +165,16 @@ def vitpose_plus_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
 
 
 def vitpose_plus_forward_train(params: Params, x: jnp.ndarray,
-                               cfg: ModelConfig, task: str):
+                               cfg: ModelConfig, task: str,
+                               block_impl: str = "xla"):
     """Training forward for one task: returns (heatmaps NCHW, new_bn_state
     for THAT task's head).  Multi-task finetuning alternates tasks across
     steps (the ViTPose+ recipe); gradients reach the shared backbone, the
     active expert slice, and the active head only."""
     from ..convert.model_split import SPLIT_DATASETS
     ei = SPLIT_DATASETS.index(task)
-    feats = vit_plus_forward(params["backbone"], x, cfg, expert_idx=ei)
+    feats = vit_plus_forward(params["backbone"], x, cfg, expert_idx=ei,
+                             block_impl=block_impl)
     head_p = params["heads"][task]
     k_task = head_p["final_w"].shape[-1]
     head_cfg = dataclasses.replace(cfg.head, num_keypoints=k_task)

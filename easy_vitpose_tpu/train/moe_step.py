@@ -112,8 +112,13 @@ def _restore_inactive_opt(new_opt, old_opt, task: str):
 
 def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                         task: str, *, use_amp: bool = True,
-                        loss_fn: Callable = joints_mse_loss):
-    """One task's train step over the shared multi-task state."""
+                        loss_fn: Callable = joints_mse_loss,
+                        block_impl: str = "xla"):
+    """One task's train step over the shared multi-task state.
+
+    block_impl='pallas_train' runs the backbone through the custom-VJP
+    fused kernels (task expert spliced into a dense fc2 outside the
+    kernel — exact-zero grads for inactive experts are preserved)."""
 
     def step(state, batch, rng):
         del rng  # no drop-path in the MoE block (finetuning recipe)
@@ -123,7 +128,8 @@ def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             fwd = cast_params(params, jnp.bfloat16) if use_amp else params
             x = batch["images"].astype(jnp.bfloat16 if use_amp
                                        else jnp.float32)
-            heat, new_bn = vitpose_plus_forward_train(fwd, x, cfg, task)
+            heat, new_bn = vitpose_plus_forward_train(fwd, x, cfg, task,
+                                                      block_impl=block_impl)
             loss = loss_fn(heat, batch["targets"], batch["target_weights"])
             return loss, new_bn
 

@@ -320,3 +320,44 @@ def test_vitinference_plus_int8(plus_sd, tmp_path):
     out = m.inference(frame, bboxes=np.array([[30, 20, 160, 200, 0.9]],
                                              np.float32))[0]
     assert out.shape == (TASK_K[task], 3) and np.isfinite(out).all()
+
+
+def test_moe_fused_train_step_matches_xla(plus_sd):
+    """block_impl='pallas_train_interpret' on the MoE step: identical loss
+    and updated params vs the XLA step; inactive experts stay bit-frozen."""
+    from easy_vitpose_tpu.train import step as steplib
+    from easy_vitpose_tpu.train.moe_step import (init_moe_train_state,
+                                                 make_moe_train_step)
+
+    params = convert_vitpose_plus_state_dict(plus_sd, CFG)
+    tx = steplib.make_optimizer(1e-3)
+    rng = np.random.default_rng(4)
+    k = TASK_K["aic"]
+    b = {
+        "images": jnp.asarray(rng.normal(size=(2, 256, 192, 3))
+                              .astype(np.float32)),
+        "targets": jnp.asarray(rng.uniform(0, 1, (2, k, 64, 48))
+                               .astype(np.float32)),
+        "target_weights": jnp.ones((2, k, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    sa = init_moe_train_state(params, tx)
+    sa, ma = make_moe_train_step(CFG, tx, "aic", use_amp=False)(sa, b, key)
+
+    sb = init_moe_train_state(params, tx)
+    sb, mb = make_moe_train_step(
+        CFG, tx, "aic", use_amp=False,
+        block_impl="pallas_train_interpret")(sb, b, key)
+
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-5
+    for a, c in zip(jax.tree_util.tree_leaves(sa["params"]),
+                    jax.tree_util.tree_leaves(sb["params"])):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)
+    # inactive experts bit-identical to the originals through the fused path
+    ew0 = np.asarray(params["backbone"]["blocks"]["mlp"]["fc2_expert_w"])
+    ewb = np.asarray(sb["params"]["backbone"]["blocks"]["mlp"]
+                     ["fc2_expert_w"])
+    np.testing.assert_array_equal(ewb[:, 0], ew0[:, 0])
+    np.testing.assert_array_equal(ewb[:, 2], ew0[:, 2])
+    assert np.abs(ewb[:, 1] - ew0[:, 1]).max() > 0  # active expert moved
