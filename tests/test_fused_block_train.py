@@ -165,3 +165,41 @@ def test_grads_match_wide_model_chunked():
         np.testing.assert_allclose(
             np.asarray(gb), np.asarray(ga), atol=3e-4 * s,
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_fused_train_step_on_8dev_mesh():
+    """The fused custom-VJP step composes with the GSPMD data-parallel
+    wrapper: 8-device DP loss equals the single-device XLA step (whether
+    XLA partitions or replicates the pallas calls, results must agree)."""
+    from easy_vitpose_tpu.configs import HeadConfig, ModelConfig
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.parallel import mesh as meshlib
+    from easy_vitpose_tpu.train import step as trainlib
+
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(
+        name="tiny", dataset="coco",
+        backbone=BackboneConfig(embed_dim=96, depth=2, num_heads=4),
+        head=HeadConfig(in_channels=96, num_keypoints=17,
+                        deconv_filters=(32, 32)))
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    tx = trainlib.make_optimizer(1e-3)
+    state = trainlib.init_train_state(params, tx)
+    mesh = meshlib.make_mesh()
+    step = trainlib.make_train_step(cfg, tx, use_amp=False,
+                                    block_impl="pallas_train_interpret")
+    jstep = trainlib.jit_data_parallel(step, mesh, donate_state=False)
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "images": rng.normal(size=(16, 256, 192, 3)).astype(np.float32),
+        "targets": rng.uniform(0, 1, (16, 17, 64, 48)).astype(np.float32),
+        "target_weights": np.ones((16, 17, 1), np.float32)}
+    batch = meshlib.shard_batch(mesh, batch_np)
+    state_r = meshlib.replicate(mesh, state)
+    key = meshlib.replicate(mesh, jax.random.PRNGKey(1))
+    _, metrics = jstep(state_r, batch, key)
+
+    step1 = jax.jit(trainlib.make_train_step(cfg, tx, use_amp=False))
+    _, m1 = step1(state, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                  jax.random.PRNGKey(1))
+    assert abs(float(metrics["loss"]) - float(m1["loss"])) < 1e-6
