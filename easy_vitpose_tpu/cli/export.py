@@ -25,7 +25,8 @@ def main(argv=None):
     p.add_argument("--dataset", default=None)
     p.add_argument("--batch", type=int, default=64,
                    help="crop batch size to specialize for")
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--dtype", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
     p.add_argument("--out", required=True, help="output .aot path")
     args = p.parse_args(argv)
 
@@ -42,12 +43,20 @@ def main(argv=None):
     else:
         from ..utils.checkpoint import load_params
         params = load_params(args.model)
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    quant = args.dtype == "int8"
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     params = jax.tree.map(jnp.asarray, params)
-    if dtype == jnp.bfloat16:
-        params = cast_params(params, dtype)
-
-    fn = jax.jit(functools.partial(vitpose_forward, cfg=cfg))
+    if quant:
+        # W8A8 export: int8 weights bake into the artifact; the int8 block
+        # runs through the XLA twin so the exported HLO is backend-portable
+        from ..models.quant import quantize_vit_params
+        params = quantize_vit_params(params, dtype)
+        fn = jax.jit(functools.partial(vitpose_forward, cfg=cfg,
+                                       block_impl="xla_q8"))
+    else:
+        if dtype == jnp.bfloat16:
+            params = cast_params(params, dtype)
+        fn = jax.jit(functools.partial(vitpose_forward, cfg=cfg))
     x_spec = jax.ShapeDtypeStruct((args.batch, 256, 192, 3), dtype)
     p_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)

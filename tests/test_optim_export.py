@@ -67,3 +67,27 @@ def test_aot_export_roundtrip(tmp_path):
     y_ref = np.asarray(fn(params, x))
     y = np.asarray(restored.call(params, x))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_aot_export_roundtrip_int8(tmp_path):
+    """The int8 (W8A8) serving program exports and round-trips: int8
+    weights bake into the artifact, outputs match the live xla_q8 path."""
+    from jax import export as jax_export
+    import functools
+    from easy_vitpose_tpu.models.quant import quantize_vit_params
+    from easy_vitpose_tpu.models.vitpose import vitpose_forward
+    cfg = CASES["tiny"]
+    params = quantize_vit_params(
+        init_vitpose_params(jax.random.PRNGKey(0), cfg))
+    fn = jax.jit(functools.partial(vitpose_forward, cfg=cfg,
+                                   block_impl="xla_q8"))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 256, 192, 3)),
+                    jnp.bfloat16)
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                          params)
+    exported = jax_export.export(fn)(
+        p_spec, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    restored = jax_export.deserialize(exported.serialize())
+    y_ref = np.asarray(fn(params, x))
+    y = np.asarray(restored.call(params, x))
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
