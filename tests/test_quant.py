@@ -150,3 +150,29 @@ def test_vitinference_int8(tmp_path):
     out = m.inference(img, bboxes=boxes)
     assert set(out) == {0} and out[0].shape == (17, 3)
     assert np.isfinite(out[0]).all()
+
+
+def test_int8_flip_test_and_batched(tmp_path):
+    """dtype='int8' composes with flip-test averaging and the batched
+    window path (xla_q8 on CPU)."""
+    from easy_vitpose_tpu import VitInference
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+    from tests.test_model_parity import CASES, load_case
+    from easy_vitpose_tpu.convert.vitpose_torch import convert_vitpose_state_dict
+
+    sd, _, _ = load_case("tiny")
+    path = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(path, convert_vitpose_state_dict(sd, CASES["tiny"]))
+
+    m = VitInference(path, model_name="s", model_cfg=CASES["tiny"],
+                     dataset="coco", dtype="int8", flip_test=True,
+                     is_video=True)
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, (240, 320, 3), np.uint8)
+              for _ in range(3)]
+    boxes = [np.array([[40, 30, 160, 200, 0.9]], np.float32)] * 3
+    outs = m.inference_batched(frames, bboxes_per_frame=boxes)
+    assert len(outs) == 3
+    for o in outs:
+        (k,) = o.values()
+        assert k.shape == (17, 3) and np.isfinite(k).all()
