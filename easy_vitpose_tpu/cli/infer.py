@@ -104,6 +104,13 @@ def run_one(args, input_path: str) -> None:
     save_media = (args.save_img or args.show) or bool(args.output_path)
     base = os.path.splitext(os.path.basename(str(input_path)))[0]
 
+    if args.batch and (args.target_fps or args.pipelined):
+        raise SystemExit(
+            "--batch is the offline windowed mode; it is incompatible with "
+            "the live-pacing flags --target-fps (the auto-tuner needs "
+            "steady per-frame timing, not whole-window bursts) and "
+            "--pipelined (the window already overlaps detect and pose)")
+
     tuner = None
     if args.target_fps and is_video:
         from ..pipeline.autotune import YoloStepAutoTuner

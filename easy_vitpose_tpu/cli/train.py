@@ -82,6 +82,15 @@ def main(argv=None):
         workers=overrides.get("workers", args.workers),
         work_dir=work_dir)
 
+    if settings.block_impl == "pallas_train" and len(jax.devices()) > 1:
+        # GSPMD has no partitioning rule for pallas_call: correctness holds
+        # (verified vs single-device on virtual meshes) but XLA may
+        # all-gather the batch and run the kernels replicated on a real
+        # multi-chip mesh — profile before committing to this combination.
+        print(">>> WARNING: --fused-block on a multi-device mesh is "
+              "correct but its multi-chip partitioning is unvalidated on "
+              "real hardware; the XLA block is the proven multi-chip path")
+
     params = init_vitpose_params(jax.random.PRNGKey(settings.seed), cfg)
     if args.resume_from:
         if args.resume_from.endswith(".pth"):

@@ -163,6 +163,32 @@ def sample_crops(frame: jnp.ndarray, geo, out_wh: Tuple[int, int] = IMAGE_SIZE,
     return out
 
 
+def _interp_weight_matrix(s, lo, size, span, cap, origin, dtype,
+                          scale: float = 1.0):
+    """Dense 2-tap bilinear interpolation matrix for one axis.
+
+    Row r of the result selects (and weights) the two source taps of output
+    coordinate ``s[:, r]``, encoding the crop window (``lo``/``size``
+    masking), zero padding, and edge clamping.  ``scale != 1`` quantizes
+    each tap to round(w * scale) — the int8 path at scale 127.
+
+    Returns (M, len(s[0]), span) in ``dtype``.
+    """
+    i0 = jnp.floor(s).astype(jnp.int32)
+    f = s - i0
+    i1 = jnp.minimum(i0 + 1, cap[:, None] - 1)
+    ax = jnp.arange(span)[None, None, :]
+
+    def tap(iq, w):
+        in_r = (iq >= lo[:, None]) & (iq < (lo + size)[:, None])
+        gi = jnp.clip(iq - lo[:, None] + origin[:, None], 0, span - 1)
+        wq = jnp.rint(w * scale) if scale != 1.0 else w
+        return ((ax == gi[:, :, None]).astype(jnp.float32)
+                * (wq * in_r)[:, :, None])
+
+    return (tap(i0, 1.0 - f) + tap(i1, f)).astype(dtype)
+
+
 def sample_crops_matmul(frame: jnp.ndarray, geo,
                         out_wh: Tuple[int, int] = IMAGE_SIZE,
                         sample_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -185,22 +211,10 @@ def sample_crops_matmul(frame: jnp.ndarray, geo,
     sy = jnp.clip((jnp.arange(OH, dtype=jnp.float32) + 0.5)[None]
                   * (hp / OH) - 0.5, 0.0, hp - 1.0)
 
-    def wmat(s, lo, size, span, cap, origin):
-        i0 = jnp.floor(s).astype(jnp.int32)
-        f = s - i0
-        i1 = jnp.minimum(i0 + 1, cap[:, None] - 1)
-        ax = jnp.arange(span)[None, None, :]
-
-        def tap(iq, w):
-            in_r = (iq >= lo[:, None]) & (iq < (lo + size)[:, None])
-            gi = jnp.clip(iq - lo[:, None] + origin[:, None], 0, span - 1)
-            return ((ax == gi[:, :, None]).astype(jnp.float32)
-                    * (w * in_r)[:, :, None])
-
-        return (tap(i0, 1.0 - f) + tap(i1, f)).astype(sample_dtype)
-
-    Wx = wmat(sx, geo["left"], geo["wc"], W, geo["wp"], geo["x1"])  # (M,OW,W)
-    Wy = wmat(sy, geo["top"], geo["hc"], H, geo["hp"], geo["y1"])   # (M,OH,H)
+    Wx = _interp_weight_matrix(sx, geo["left"], geo["wc"], W, geo["wp"],
+                               geo["x1"], sample_dtype)             # (M,OW,W)
+    Wy = _interp_weight_matrix(sy, geo["top"], geo["hc"], H, geo["hp"],
+                               geo["y1"], sample_dtype)             # (M,OH,H)
     fr_t = jnp.swapaxes(frame.astype(sample_dtype), 0, 1).reshape(W, H * 3)
     xv = jnp.einsum("mow,wk->mok", Wx, fr_t).reshape(M, OW, H, 3)
     return jnp.einsum("moh,mwhc->mowc", Wy, xv)
@@ -233,25 +247,10 @@ def sample_crops_matmul_q8(frame: jnp.ndarray, geo,
     sy = jnp.clip((jnp.arange(OH, dtype=jnp.float32) + 0.5)[None]
                   * (hp / OH) - 0.5, 0.0, hp - 1.0)
 
-    def wmat(s, lo, size, span, cap, origin, dtype, scale=1.0):
-        i0 = jnp.floor(s).astype(jnp.int32)
-        f = s - i0
-        i1 = jnp.minimum(i0 + 1, cap[:, None] - 1)
-        ax = jnp.arange(span)[None, None, :]
-
-        def tap(iq, w):
-            in_r = (iq >= lo[:, None]) & (iq < (lo + size)[:, None])
-            gi = jnp.clip(iq - lo[:, None] + origin[:, None], 0, span - 1)
-            wq = jnp.rint(w * scale) if scale != 1.0 else w
-            return ((ax == gi[:, :, None]).astype(jnp.float32)
-                    * (wq * in_r)[:, :, None])
-
-        return (tap(i0, 1.0 - f) + tap(i1, f)).astype(dtype)
-
-    Wxq = wmat(sx, geo["left"], geo["wc"], W, geo["wp"], geo["x1"],
-               jnp.int8, scale=127.0)                              # (M,OW,W)
-    Wy = wmat(sy, geo["top"], geo["hc"], H, geo["hp"], geo["y1"],
-              sample_dtype)                                        # (M,OH,H)
+    Wxq = _interp_weight_matrix(sx, geo["left"], geo["wc"], W, geo["wp"],
+                                geo["x1"], jnp.int8, scale=127.0)  # (M,OW,W)
+    Wy = _interp_weight_matrix(sy, geo["top"], geo["hc"], H, geo["hp"],
+                               geo["y1"], sample_dtype)            # (M,OH,H)
     fr_shift = (frame.astype(jnp.int16) - 128).astype(jnp.int8)
     fr_t = jnp.swapaxes(fr_shift, 0, 1).reshape(W, H * 3)
     acc = jax.lax.dot_general(

@@ -323,9 +323,12 @@ class VitInference:
 
         Semantics match calling :meth:`inference` frame-by-frame — same
         detection cadence (``yolo_step`` + first-3-frames), conf>0.35
-        filter, SORT evolution, score-capping — so track IDs line up with
-        the sequential path.  The only numeric caveat: the detector runs
-        batched, which can differ from per-frame runs at f32 noise.
+        filter, SORT evolution, score-capping, flip-test — so track IDs
+        line up with the sequential path.  Two bounded numeric caveats:
+        the detector runs batched (f32-noise differences from per-frame
+        runs), and bf16 serving samples crops via the per-frame gather
+        sampler here vs the matmul sampler sequentially (the two are
+        equal to ~1e-5 at f32; bf16 rounding differs at that scale).
 
         This is the offline-throughput mode (video files, COCO eval): it
         amortizes per-program dispatch and host<->device round-trips over
@@ -361,8 +364,9 @@ class VitInference:
                 h = self._detector.detect_batch_async(frames_dev)
                 dets = self._detector.unpack_batch(np.asarray(h), (H, W))
             else:
+                # per-frame fallback: only the cadence-due frames
                 dets = [self._detector(frames_dev[i], frame_hw=(H, W))
-                        for i in range(F)]
+                        if due[i] else None for i in range(F)]
 
         # host tracking, sequential in frame order (identical evolution to
         # the frame-by-frame path)
@@ -374,7 +378,7 @@ class VitInference:
             if bboxes_per_frame is not None:
                 res_pd = np.asarray(bboxes_per_frame[i],
                                     np.float32).reshape(-1, 5)
-            elif due[i] and dets is not None:
+            elif due[i] and dets is not None and dets[i] is not None:
                 results = dets[i]
                 if len(results):
                     res_pd = results[results[:, 4]
@@ -407,7 +411,8 @@ class VitInference:
                 self._params, frames_dev, jnp.asarray(boxes),
                 jnp.asarray(fidx), jnp.asarray(mask), self.cfg,
                 compute_dtype=self.compute_dtype,
-                block_impl=self._block_impl))
+                block_impl=self._block_impl,
+                flip_pairs=self._flip_pairs))
             k = 0
             for i in range(F):
                 res_pd, ids, scores, _ = per_frame[i]

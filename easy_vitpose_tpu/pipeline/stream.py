@@ -24,9 +24,10 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
-                                             "block_impl"))
+                                             "block_impl", "flip_pairs"))
 def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
-                      compute_dtype=jnp.bfloat16, block_impl: str = "xla"):
+                      compute_dtype=jnp.bfloat16, block_impl: str = "xla",
+                      flip_pairs=None):
     """Pose over crops drawn from a STACK of frames.
 
     frames: (S, H, W, 3); boxes: (M, 4) frame-local coords; frame_idx: (M,)
@@ -39,7 +40,7 @@ def _pose_multi_frame(params, frames, boxes, frame_idx, mask, cfg: ModelConfig,
     """
     return pose_step(params, frames, boxes, mask, cfg,
                      compute_dtype=compute_dtype, block_impl=block_impl,
-                     frame_idx=frame_idx)
+                     frame_idx=frame_idx, flip_pairs=flip_pairs)
 
 
 class MultiStreamPose:

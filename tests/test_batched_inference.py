@@ -98,6 +98,25 @@ def test_batched_detector_cadence_and_tracking(ckpt_npz, yolo_npz):
         assert sorted(out.keys()) == sorted(seq_states[i][1]), f"frame {i}"
 
 
+def test_batched_flip_test_matches_sequential(ckpt_npz):
+    """flip-test averaging must flow through the batched pose program —
+    it used to be silently dropped (review finding)."""
+    frames = _frames(4)
+    boxes = _boxes_seq(4)
+    seq = VitInference(ckpt_npz, model_name="s", model_cfg=CASES["tiny"],
+                       dataset="coco", is_video=True, dtype="fp32",
+                       flip_test=True)
+    seq_out = [seq.inference(f, bboxes=b) for f, b in zip(frames, boxes)]
+    bat = VitInference(ckpt_npz, model_name="s", model_cfg=CASES["tiny"],
+                       dataset="coco", is_video=True, dtype="fp32",
+                       flip_test=True)
+    got = bat.inference_batched(frames, bboxes_per_frame=boxes)
+    for a, b in zip(seq_out, got):
+        assert set(a) == set(b)
+        for pid in a:
+            np.testing.assert_allclose(b[pid], a[pid], atol=1e-3)
+
+
 def test_batched_empty_and_single_frame(ckpt_npz):
     m = _mk(ckpt_npz)
     assert m.inference_batched([]) == []
