@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--yolo", default="x", choices=["n", "s", "m", "l", "x"])
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--pp", type=int, default=4)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -38,8 +39,14 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     cfg = get_model_config("coco", args.size)
-    params = cast_params(init_vitpose_params(jax.random.PRNGKey(0), cfg),
-                         jnp.bfloat16)
+    quant = args.dtype == "int8"
+    params_f32 = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    if quant:
+        from easy_vitpose_tpu.models.quant import quantize_vit_params
+        params = quantize_vit_params(params_f32, jnp.bfloat16)
+    else:
+        params = cast_params(params_f32, jnp.bfloat16)
+    del params_f32
 
     class Det:
         """YoloDetector protocol over random-init weights (perf is
@@ -75,9 +82,11 @@ def main():
     # fixed boxes via a stub tracker seed: let detection drive (random
     # weights detect garbage, but the tick cost is shape-driven)
     ms_sync = MultiStreamPose(params, cfg, detector=det, n_streams=S,
-                              yolo_step=1, max_people_per_stream=args.pp)
+                              yolo_step=1, max_people_per_stream=args.pp,
+                              quant=quant)
     ms_pipe = MultiStreamPose(params, cfg, detector=det, n_streams=S,
-                              yolo_step=1, max_people_per_stream=args.pp)
+                              yolo_step=1, max_people_per_stream=args.pp,
+                              quant=quant)
     # seed trackers with synthetic boxes so the pose batch is full
     boxes = [np.stack([rng.uniform(0, W - 300, args.pp),
                        rng.uniform(0, H - 300, args.pp),
