@@ -231,6 +231,12 @@ def fused_block_q8(x: jnp.ndarray, p: Params, cfg: BackboneConfig, *,
 
     B, N, D = x.shape
     if crops_per_step is None:
+        # Tile policy: same as the bf16 kernel. A standalone backbone sweep
+        # (bench_block_gsize.py --q8, ViT-B) reads G=16 5% faster than G=2
+        # (13.08 vs 13.76 ms), but the full pose step measured ~3% SLOWER
+        # at G=16 (17.1 vs 16.7 ms across comparable sessions) — the bigger
+        # tile's longer critical-path tail composes worse with the
+        # sampler/head. G=2 is the proven e2e config.
         crops_per_step = 2 if D <= 768 else 4
     G = min(crops_per_step, B)
     pad = (-B) % G

@@ -20,6 +20,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--size", default="b", choices=["s", "b", "l", "h"])
+    ap.add_argument("--q8", action="store_true",
+                    help="sweep the int8 fused block instead of bf16")
     args = ap.parse_args()
 
     import jax
@@ -29,15 +32,25 @@ def main():
     from easy_vitpose_tpu.models.vit import init_vit_params
 
     print("devices:", jax.devices(), flush=True)
-    cfg = get_model_config("coco", "b").backbone
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
-                          init_vit_params(jax.random.PRNGKey(0), cfg))
-    x = jax.random.normal(jax.random.PRNGKey(1), (64, 192, 768),
-                          jnp.bfloat16)
+    cfg = get_model_config("coco", args.size).backbone
+    params_f32 = init_vit_params(jax.random.PRNGKey(0), cfg)
+    if args.q8:
+        from easy_vitpose_tpu.models.quant import (fused_block_q8,
+                                                   quantize_vit_params)
+        params = quantize_vit_params(
+            {"backbone": params_f32})["backbone"]
+        blk = fused_block_q8
+    else:
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                              params_f32)
+        blk = fused_block
+    del params_f32
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (64, 192, cfg.embed_dim), jnp.bfloat16)
 
     def backbone(tokens, g):
         def body(carry, layer):
-            return fused_block(carry, layer, cfg, crops_per_step=g), None
+            return blk(carry, layer, cfg, crops_per_step=g), None
         out, _ = jax.lax.scan(body, tokens, params["blocks"])
         return out
 
