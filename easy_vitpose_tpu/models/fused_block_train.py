@@ -16,11 +16,20 @@ passes.  This module implements the whole pre-LN block as a
 * **backward-ATTN** — given (x, dx1): recompute LN1/qkv/softmax in VMEM,
   produce dx and the qkv/proj/LN1 weight grads.
 
-Weight grads accumulate across grid steps into constant-index_map output
-blocks (the TPU grid is sequential, so += into a revisited VMEM block is
-well-defined; step 0 zero-initializes).  All math is f32-accumulated like
-the XLA block; gradient equality vs ``jax.grad`` of the XLA block is
-pinned in tests/test_fused_block_train.py.
+Weight grads accumulate across grid steps into output blocks that are
+revisited only on *consecutive* grid iterations — the one accumulation
+pattern Pallas TPU defines (the block stays resident in VMEM between
+consecutive same-index steps and is written back once after the last).
+Constant-index blocks trivially satisfy this.  For wide MLPs (ViT-L/H)
+the fc1/fc2 weight grads are chunked along the hidden dim; a single
+``grid=(tiles, chunks)`` kernel would revisit each chunk's output block
+non-consecutively across tiles (undefined on real TPU — the TPU
+interpreter raises "Revisited block ... of output" for it), so the
+chunked path splits into two kernels: a full-width dx kernel over
+``(tiles,)`` and a weight-grad kernel over ``(chunks, tiles)`` with the
+tile reduction innermost.  ``tests/test_fused_block_train.py`` pins both
+gradient equality vs ``jax.grad`` of the XLA block and the TPU-interpret
+pipelining check (``pltpu.InterpretParams``).
 
 Backward math (f32):
   LN:    dx = (1/sigma) * (dxhat - mean(dxhat) - xhat * mean(dxhat*xhat)),
@@ -130,46 +139,39 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
 def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                     fc1_w, fc1_b, fc2_w,
                     dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
-                    dln2s_ref, dln2b_ref, dh2_acc,
-                    *, G: int, N: int, D: int, eps: float, nj: int):
-    """Grid (batch tiles i, hidden chunks j).  Hidden chunking bounds VMEM
-    for wide MLPs (ViT-L/H): per (i, j) step only the j-th fc1/fc2 weight
-    columns/rows and their f32 grad accumulators are resident.  dh2 (the
-    full-width LN2 upstream) accumulates across j in a persistent scratch;
-    the LN2 backward and dx1 write happen at the last chunk."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    first_tile = i == 0
+                    dln2s_ref, dln2b_ref,
+                    *, G: int, N: int, D: int, eps: float):
+    """Full-width fused MLP backward, grid (batch tiles,).  Used when the
+    f32 fc1/fc2 grad accumulators fit VMEM (D <= 768).  All weight-grad
+    outputs are constant-index blocks, so the += accumulation across
+    tiles is over consecutive revisits (well-defined on TPU)."""
+    first_tile = pl.program_id(0) == 0
 
     x1 = x1_ref[:].reshape(G * N, D)
     dt = x1.dtype
     dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
-    base = i * G
+    base = pl.program_id(0) * G
     dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
                           for g in range(G)], axis=0)
 
     s2 = ln2_s[0].astype(jnp.float32)
     h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
     h2 = h2f.astype(dt)
-    # j-th hidden chunk only
     m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
-         + fc1_b[0].astype(jnp.float32))                 # (R, Hc)
+         + fc1_b[0].astype(jnp.float32))                 # (R, H)
     g = _gelu_exact(m).astype(dt)
 
     dm2 = dout * dp                                      # (R, D) f32
     dm2c = dm2.astype(dt)
     dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, Hc)
+                             preferred_element_type=jnp.float32)  # (R, H)
     dm1 = dg * _gelu_grad(m)
     dm1c = dm1.astype(dt)
-    dh2_j = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
 
-    @pl.when(j == 0)
-    def _():
-        dh2_acc[:] = jnp.zeros_like(dh2_acc)
-
-    dh2_acc[:] += dh2_j
+    dx1_ln, ds2, db2ln = _ln_bwd(dh2, xhat2, inv2, s2)
+    dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
 
     dW2 = jax.lax.dot_general(g, dm2c, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -181,9 +183,6 @@ def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
         dfc1w_ref[:] = jnp.zeros_like(dfc1w_ref)
         dfc1b_ref[:] = jnp.zeros_like(dfc1b_ref)
         dfc2w_ref[:] = jnp.zeros_like(dfc2w_ref)
-
-    @pl.when(first_tile & (j == 0))
-    def _():
         dfc2b_ref[:] = jnp.zeros_like(dfc2b_ref)
         dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
         dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
@@ -191,18 +190,105 @@ def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     dfc1w_ref[:] += dW1
     dfc1b_ref[:] += jnp.sum(dm1, axis=0)[None]
     dfc2w_ref[:] += dW2
+    dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
+    dln2s_ref[:] += ds2[None]
+    dln2b_ref[:] += db2ln[None]
 
-    @pl.when(j == 0)
-    def _():
-        # dm2 is identical for every hidden chunk; count it once per tile
-        dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
 
-    @pl.when(j == nj - 1)
+def _bwd_mlp_dx_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                       fc1_w, fc1_b, fc2_w,
+                       dx1_ref, dfc2b_ref, dln2s_ref, dln2b_ref,
+                       *, G: int, N: int, D: int, eps: float):
+    """Wide-MLP path, kernel 1 of 2: dx1 + LN2/fc2-bias grads, grid
+    (batch tiles,).  Full-width bf16 fc1/fc2 weights fit VMEM even at
+    ViT-H (13 MB each); only the f32 weight-grad accumulators do not —
+    those live in the chunked dw kernel below."""
+    first_tile = pl.program_id(0) == 0
+
+    x1 = x1_ref[:].reshape(G * N, D)
+    dt = x1.dtype
+    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
+    base = pl.program_id(0) * G
+    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
+                          for g in range(G)], axis=0)
+
+    s2 = ln2_s[0].astype(jnp.float32)
+    h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
+    h2 = h2f.astype(dt)
+    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+         + fc1_b[0].astype(jnp.float32))                 # (R, H)
+
+    dm2 = dout * dp                                      # (R, D) f32
+    dm2c = dm2.astype(dt)
+    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (R, H)
+    dm1c = (dg * _gelu_grad(m)).astype(dt)
+    dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dx1_ln, ds2, db2ln = _ln_bwd(dh2, xhat2, inv2, s2)
+    dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
+
+    @pl.when(first_tile)
     def _():
-        dx1_ln, ds2, db2ln = _ln_bwd(dh2_acc[:], xhat2, inv2, s2)
-        dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
-        dln2s_ref[:] += ds2[None]
-        dln2b_ref[:] += db2ln[None]
+        dfc2b_ref[:] = jnp.zeros_like(dfc2b_ref)
+        dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
+
+    dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
+    dln2s_ref[:] += ds2[None]
+    dln2b_ref[:] += db2ln[None]
+
+
+def _bwd_mlp_dw_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                       fc1_w, fc1_b, fc2_w,
+                       dfc1w_ref, dfc1b_ref, dfc2w_ref,
+                       *, G: int, N: int, D: int, eps: float):
+    """Wide-MLP path, kernel 2 of 2: chunked fc1/fc2 weight grads, grid
+    (hidden chunks j, batch tiles i) — the tile *reduction* dim is
+    innermost, so each chunk's output blocks are revisited on consecutive
+    iterations only (the one accumulation pattern Pallas TPU defines;
+    the previous (tiles, chunks) grid was flagged by the TPU interpreter
+    as "Revisited block ... of output").  Per (j, i) step only the j-th
+    fc1/fc2 weight columns/rows and their f32 grad chunks are resident;
+    LN2 + the j-th fc1 column forward are recomputed from x1."""
+    i = pl.program_id(1)
+
+    x1 = x1_ref[:].reshape(G * N, D)
+    dt = x1.dtype
+    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
+    base = i * G
+    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
+                          for g in range(G)], axis=0)
+
+    h2f, _, _ = _ln_fwd(x1, ln2_s[0].astype(jnp.float32),
+                        ln2_b[0].astype(jnp.float32), eps)
+    h2 = h2f.astype(dt)
+    # j-th hidden chunk only
+    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+         + fc1_b[0].astype(jnp.float32))                 # (R, Hc)
+    g = _gelu_exact(m).astype(dt)
+
+    dm2c = (dout * dp).astype(dt)                        # (R, D)
+    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (R, Hc)
+    dm1 = dg * _gelu_grad(m)
+    dm1c = dm1.astype(dt)
+
+    dW2 = jax.lax.dot_general(g, dm2c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dW1 = jax.lax.dot_general(h2, dm1c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dfc1w_ref[:] = jnp.zeros_like(dfc1w_ref)
+        dfc1b_ref[:] = jnp.zeros_like(dfc1b_ref)
+        dfc2w_ref[:] = jnp.zeros_like(dfc2w_ref)
+
+    dfc1w_ref[:] += dW1
+    dfc1b_ref[:] += jnp.sum(dm1, axis=0)[None]
+    dfc2w_ref[:] += dW2
 
 
 # --------------------------------------------------------- backward: ATTN
@@ -388,7 +474,7 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
             shps.append(jax.ShapeDtypeStruct(s, jnp.float32))
         return specs, shps
 
-    # ---- MLP backward (grid: batch tiles x hidden chunks) ----
+    # ---- MLP backward ----
     # hidden chunking bounds VMEM for wide MLPs: without it the f32
     # dW1/dW2 accumulators alone are ~52 MB for ViT-H
     nj = 1 if D <= 768 else (2 if D <= 1024 else 4)
@@ -397,56 +483,81 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
     Hc = hidden // nj
     ws_mlp = [_row(p["ln2_s"]), _row(p["ln2_b"]), p["mlp"]["fc1_w"],
               _row(p["mlp"]["fc1_b"]), p["mlp"]["fc2_w"]]
-    tok2 = pl.BlockSpec((G, N, D), lambda i, j: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
 
-    def const2(shape):
-        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+    if nj == 1:
+        # narrow MLP: one fused kernel, all weight-grad outputs
+        # constant-index (accumulation over consecutive revisits)
+        acc1, accs1 = acc_specs([(D, hidden), (1, hidden), (hidden, D),
+                                 (1, D), (1, D), (1, D)])
+        kern = functools.partial(_bwd_mlp_kernel, G=G, N=N, D=D,
+                                 eps=cfg.layer_norm_eps)
+        dx1, dW1, db1, dW2, db2, ds2, dbeta2 = pl.pallas_call(
+            kern,
+            grid=(Bp // G,),
+            in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
+            out_specs=(tok_spec, *acc1),
+            out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            interpret=interpret,
+        )(x1, dout, dp, *ws_mlp)
+    else:
+        # wide MLP (ViT-L/H): two kernels so every accumulating output
+        # block is revisited only consecutively (see kernel docstrings)
+        acc1, accs1 = acc_specs([(1, D), (1, D), (1, D)])
+        kern = functools.partial(_bwd_mlp_dx_kernel, G=G, N=N, D=D,
+                                 eps=cfg.layer_norm_eps)
+        dx1, db2, ds2, dbeta2 = pl.pallas_call(
+            kern,
+            grid=(Bp // G,),
+            in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
+            out_specs=(tok_spec, *acc1),
+            out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            interpret=interpret,
+        )(x1, dout, dp, *ws_mlp)
+
+        def const2(shape):
+            return pl.BlockSpec(shape, lambda j, i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        tok2 = pl.BlockSpec((G, N, D), lambda j, i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-
-    mlp_in_specs = [
-        tok2, tok2,
-        pl.BlockSpec((Bp, 1), lambda i, j: (0, 0),
-                     memory_space=pltpu.SMEM),
-        const2((1, D)), const2((1, D)),                       # ln2 s/b
-        pl.BlockSpec((D, Hc), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),                # fc1_w chunk
-        pl.BlockSpec((1, Hc), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),                # fc1_b chunk
-        pl.BlockSpec((Hc, D), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),                # fc2_w chunk
-    ]
-    mlp_out_specs = (
-        tok2,
-        pl.BlockSpec((D, Hc), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),                # dW1
-        pl.BlockSpec((1, Hc), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),                # db1
-        pl.BlockSpec((Hc, D), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),                # dW2
-        const2((1, D)), const2((1, D)), const2((1, D)),       # db2, ds2, db
-    )
-    mlp_out_shapes = (
-        jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
-        jax.ShapeDtypeStruct((D, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((hidden, D), jnp.float32),
-        jax.ShapeDtypeStruct((1, D), jnp.float32),
-        jax.ShapeDtypeStruct((1, D), jnp.float32),
-        jax.ShapeDtypeStruct((1, D), jnp.float32),
-    )
-    kern = functools.partial(_bwd_mlp_kernel, G=G, N=N, D=D,
-                             eps=cfg.layer_norm_eps, nj=nj)
-    dx1, dW1, db1, dW2, db2, ds2, dbeta2 = pl.pallas_call(
-        kern,
-        grid=(Bp // G, nj),
-        in_specs=mlp_in_specs,
-        out_specs=mlp_out_specs,
-        out_shape=mlp_out_shapes,
-        scratch_shapes=[pltpu.VMEM((G * N, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
-        interpret=interpret,
-    )(x1, dout, dp, *ws_mlp)
+        dw_in_specs = [
+            tok2, tok2,
+            pl.BlockSpec((Bp, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const2((1, D)), const2((1, D)),                   # ln2 s/b
+            pl.BlockSpec((D, Hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),            # fc1_w chunk
+            pl.BlockSpec((1, Hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),            # fc1_b chunk
+            pl.BlockSpec((Hc, D), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),            # fc2_w chunk
+        ]
+        dw_out_specs = (
+            pl.BlockSpec((D, Hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),            # dW1
+            pl.BlockSpec((1, Hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),            # db1
+            pl.BlockSpec((Hc, D), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),            # dW2
+        )
+        dw_out_shapes = (
+            jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, D), jnp.float32),
+        )
+        kern = functools.partial(_bwd_mlp_dw_kernel, G=G, N=N, D=D,
+                                 eps=cfg.layer_norm_eps)
+        dW1, db1, dW2 = pl.pallas_call(
+            kern,
+            grid=(nj, Bp // G),
+            in_specs=dw_in_specs,
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shapes,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            interpret=interpret,
+        )(x1, dout, dp, *ws_mlp)
 
     # ---- attention backward ----
     ws_attn = [_row(p["ln1_s"]), _row(p["ln1_b"]), p["qkv_w"],

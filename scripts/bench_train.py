@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="custom-VJP fused Pallas train block")
+    ap.add_argument("--grad-check", action="store_true",
+                    help="before timing, check fused-block grads vs the "
+                         "XLA block ON THIS BACKEND (catches TPU-only "
+                         "pipelining bugs the CPU interpret tests cannot)")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +43,51 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     cfg = get_model_config("coco", args.size)
+
+    if args.grad_check:
+        # On-device fused-vs-XLA block grad parity at this size's real
+        # embed_dim (D>768 exercises the chunked two-kernel MLP backward,
+        # whose output-block revisit pattern only real pipelining or the
+        # TPU interpreter can falsify).
+        from easy_vitpose_tpu.models.fused_block_train import (
+            make_fused_block_train)
+        from easy_vitpose_tpu.models.vit import block, init_vit_params
+        bcfg = cfg.backbone
+        vp = init_vit_params(jax.random.PRNGKey(2), bcfg)
+        layer = jax.tree.map(lambda a: a[0], vp["blocks"])
+        xb = jax.random.normal(jax.random.PRNGKey(3),
+                               (6, bcfg.num_tokens, bcfg.embed_dim),
+                               jnp.float32) * 0.5
+        dp = jnp.ones((6,), jnp.float32)
+        fused = make_fused_block_train(bcfg)
+
+        def loss(fn, xx, pp):
+            out = fn(xx, pp)
+            w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)
+                        ).reshape(out.shape)
+            return jnp.sum(out * w)
+
+        ga = jax.jit(jax.grad(lambda xx, pp: loss(
+            lambda x_, p_: block(x_, p_, bcfg.num_heads,
+                                 bcfg.layer_norm_eps,
+                                 drop_path_keep=dp[:, None, None]),
+            xx, pp), argnums=(0, 1)))(xb, layer)
+        gb = jax.jit(jax.grad(lambda xx, pp: loss(
+            lambda x_, p_: fused(x_, p_, dp), xx, pp),
+            argnums=(0, 1)))(xb, layer)
+        worst = 0.0
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(ga),
+                jax.tree_util.tree_leaves(gb)):
+            s = float(jnp.max(jnp.abs(a))) + 1e-9
+            rel = float(jnp.max(jnp.abs(a - b))) / s
+            worst = max(worst, rel)
+            if rel > 3e-4:
+                raise SystemExit(
+                    f"FUSED GRAD MISMATCH {jax.tree_util.keystr(path)}: "
+                    f"rel={rel:.2e}")
+        print(f"grad-check OK (worst rel err {worst:.2e})", flush=True)
+
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = init_train_state(params, tx)
