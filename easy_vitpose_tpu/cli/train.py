@@ -45,7 +45,15 @@ def main(argv=None):
     p.add_argument("--config", default=None, help="yaml overrides")
     p.add_argument("--resume-from", default=None, help=".npz or .pth ckpt")
     p.add_argument("--freeze-backbone", action="store_true")
-    p.add_argument("--lr", type=float, default=3.75e-4)
+    p.add_argument("--preset", default="finetune",
+                   choices=["finetune", "from-scratch"],
+                   help="finetune: Adam + ReduceLROnPlateau (reference "
+                        "*_custom recipe); from-scratch: AdamW layer-decay "
+                        "+ linear warmup + step LR (reference 210-epoch "
+                        "train_configs recipe)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the preset LR (finetune 3.75e-4, "
+                        "from-scratch 5e-4)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=210)
     p.add_argument("--seed", type=int, default=0)
@@ -67,29 +75,35 @@ def main(argv=None):
 
     cfg = get_model_config(args.dataset, args.model_name)
     work_dir = args.work_dir or next_session_dir()
-    settings = TrainSettings(
-        lr=overrides.get("lr", args.lr),
+    from ..train import presets
+    preset_fn = (presets.from_scratch if args.preset == "from-scratch"
+                 else presets.finetune)
+    preset_kw = dict(
         total_epochs=overrides.get("total_epochs", args.epochs),
         batch_size=overrides.get("batch_size", args.batch_size),
         use_amp=overrides.get("use_amp", not args.no_amp),
         block_impl=("pallas_train" if args.fused_block
                     or overrides.get("fused_block") else "xla"),
         save_interval=overrides.get("save_interval", 10),
-        early_stop_patience=overrides.get("early_stop_patience", 15),
         freeze_backbone=args.freeze_backbone or
         overrides.get("freeze_backbone", False),
         seed=overrides.get("seed", args.seed),
         workers=overrides.get("workers", args.workers),
         work_dir=work_dir)
+    lr = overrides.get("lr", args.lr)
+    if lr is not None:
+        preset_kw["lr"] = lr
+    if args.preset == "finetune":
+        preset_kw["early_stop_patience"] = overrides.get(
+            "early_stop_patience", 15)
+    settings = preset_fn(args.model_name, **preset_kw)
 
     if settings.block_impl == "pallas_train" and len(jax.devices()) > 1:
-        # GSPMD has no partitioning rule for pallas_call: correctness holds
-        # (verified vs single-device on virtual meshes) but XLA may
-        # all-gather the batch and run the kernels replicated on a real
-        # multi-chip mesh — profile before committing to this combination.
-        print(">>> WARNING: --fused-block on a multi-device mesh is "
-              "correct but its multi-chip partitioning is unvalidated on "
-              "real hardware; the XLA block is the proven multi-chip path")
+        # multi-device fused training runs through the shard_map wrapper
+        # (train/step.py make_train_step_sharded): the Pallas kernels see
+        # the per-device batch shard by construction
+        print(">>> --fused-block on a multi-device mesh: using the "
+              "shard_map data-parallel step (partitioned by construction)")
 
     params = init_vitpose_params(jax.random.PRNGKey(settings.seed), cfg)
     if args.resume_from:

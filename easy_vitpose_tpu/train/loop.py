@@ -34,8 +34,17 @@ class TrainSettings:
     batch_size: int = 64
     use_amp: bool = True
     block_impl: str = "xla"              # 'pallas_train' = fused VJP kernels
+    optimizer: str = "adam"              # | 'adamw_layer_decay' (from-scratch)
+    lr_policy: str = "plateau"           # | 'step' (mmcv warmup+milestones)
     lr_factor: float = 0.1               # ReduceLROnPlateau factor
     lr_patience: int = 4                 # epochs without val improvement
+    # 'step' policy (reference train_configs/*.py:24-29) + AdamW recipe
+    lr_milestones: tuple = (170, 200)
+    lr_gamma: float = 0.1
+    warmup_iters: int = 500
+    warmup_ratio: float = 1e-3
+    weight_decay: float = 0.1
+    layer_decay_rate: float = 0.75
     save_interval: int = 10
     early_stop_patience: int = 15
     ckpt_topk_epoch: int = 10            # start tracking best after this
@@ -95,8 +104,27 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     assert settings.batch_size % n_dev == 0, \
         f"batch {settings.batch_size} not divisible by {n_dev} devices"
 
-    tx = steplib.make_optimizer(settings.lr,
-                                freeze_backbone=settings.freeze_backbone)
+    if settings.optimizer == "adamw_layer_decay":
+        # from-scratch recipe: AdamW + layer decay + (optionally) the
+        # warmup/milestone step policy, all inside the optimizer
+        if settings.freeze_backbone:
+            raise ValueError("freeze_backbone is a finetune option; the "
+                             "from-scratch AdamW recipe trains everything")
+        steps_per_epoch = max(len(train_ds) // settings.batch_size, 1)
+        lr = settings.lr
+        if settings.lr_policy == "step":
+            lr = steplib.make_step_lr_schedule(
+                settings.lr, steps_per_epoch,
+                milestones=settings.lr_milestones, gamma=settings.lr_gamma,
+                warmup_iters=settings.warmup_iters,
+                warmup_ratio=settings.warmup_ratio)
+        tx = steplib.make_adamw_layer_decay_optimizer(
+            lr, weight_decay=settings.weight_decay,
+            layer_decay_rate=settings.layer_decay_rate,
+            depth=cfg.backbone.depth)
+    else:
+        tx = steplib.make_optimizer(settings.lr,
+                                    freeze_backbone=settings.freeze_backbone)
     state = steplib.init_train_state(params, tx)
     start_epoch = 0
     if settings.resume_state_dir:
@@ -105,9 +133,17 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         log(f"resumed full train state from {settings.resume_state_dir} "
             f"(step {int(state['step'])})")
     state = meshlib.replicate(mesh, state)
-    train_step = steplib.jit_data_parallel(
-        steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
-                                block_impl=settings.block_impl), mesh)
+    if settings.block_impl.startswith("pallas_train") and n_dev > 1:
+        # explicit-SPMD wrapper: the fused Pallas kernels are partitioned
+        # over 'data' by construction (GSPMD has no pallas partitioning
+        # rule and could replicate them on a real mesh)
+        train_step = steplib.make_train_step_sharded(
+            cfg, tx, mesh, use_amp=settings.use_amp,
+            block_impl=settings.block_impl)
+    else:
+        train_step = steplib.jit_data_parallel(
+            steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
+                                    block_impl=settings.block_impl), mesh)
     eval_step = jax.jit(
         steplib.make_eval_step(cfg, use_amp=settings.use_amp),
         in_shardings=(meshlib.replicated(mesh), meshlib.batch_sharded(mesh)),
@@ -179,10 +215,15 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                                                meshlib.shard_batch(mesh, b))))
             val_loss = float(np.mean(vlosses)) if vlosses else train_loss
 
-        new_lr = sched.step(val_loss)
-        state = dict(state)
-        state["opt_state"] = steplib.set_learning_rate(state["opt_state"],
-                                                       new_lr)
+        if settings.lr_policy == "step":
+            # warmup/milestone schedule lives inside the optimizer (driven
+            # by the step count); just report the realized LR
+            new_lr = steplib.get_learning_rate(state["opt_state"])
+        else:
+            new_lr = sched.step(val_loss)
+            state = dict(state)
+            state["opt_state"] = steplib.set_learning_rate(state["opt_state"],
+                                                           new_lr)
         dt = time.time() - t0
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "val_loss": val_loss, "lr": new_lr, "seconds": dt})

@@ -32,10 +32,18 @@ def finetune(size: str = "b", **overrides) -> TrainSettings:
 
 
 def from_scratch(size: str = "b", **overrides) -> TrainSettings:
-    """210-epoch AdamW recipe settings; pair with
-    make_adamw_layer_decay_optimizer(lr=1e-3, wd=0.1,
-    layer_decay_rate=LAYER_DECAY[size], depth=DEPTHS[size])."""
-    base = dict(lr=1e-3, total_epochs=210, batch_size=64, use_amp=True,
+    """The reference's full 210-epoch from-scratch recipe
+    (train_configs/ViTPose_base_coco_256x192.py:7-29 and l/h variants):
+    AdamW lr=5e-4 wd=0.1 + per-layer decay + grad clip 1.0, LR policy
+    'step' with linear warmup (500 iters from ratio 1e-3) and x0.1
+    milestones at epochs [170, 200].  train_model builds
+    make_adamw_layer_decay_optimizer(make_step_lr_schedule(...)) from
+    these settings."""
+    base = dict(lr=5e-4, total_epochs=210, batch_size=64, use_amp=True,
+                optimizer="adamw_layer_decay", lr_policy="step",
+                lr_milestones=(170, 200), lr_gamma=0.1,
+                warmup_iters=500, warmup_ratio=1e-3,
+                weight_decay=0.1, layer_decay_rate=LAYER_DECAY[size],
                 save_interval=10, early_stop_patience=10 ** 9)
     base.update(overrides)
     return TrainSettings(**base)

@@ -85,15 +85,51 @@ def layerwise_lr_decay(layer_decay_rate: float, depth: int
                                         update_fn)
 
 
-def make_adamw_layer_decay_optimizer(learning_rate: float = 1e-3,
+def make_step_lr_schedule(base_lr: float = 5e-4,
+                          steps_per_epoch: int = 1,
+                          milestones=(170, 200),
+                          gamma: float = 0.1,
+                          warmup_iters: int = 500,
+                          warmup_ratio: float = 1e-3):
+    """The reference from-scratch LR policy (train_configs/
+    ViTPose_base_coco_256x192.py:24-29): mmcv ``StepLrUpdaterHook`` with
+    linear warmup.  Per-iteration LR:
+
+      regular(epoch) = base_lr * gamma^(# milestones passed)   [by epoch]
+      it < warmup_iters:
+          lr = regular * (1 - (1 - it/warmup_iters) * (1 - warmup_ratio))
+      else: lr = regular
+
+    (iter 0 starts at base_lr*warmup_ratio and ramps linearly to regular
+    at warmup_iters — mmcv's exact linear-warmup formula).  Returns an
+    optax schedule (step count -> lr) to pass as the ``learning_rate`` of
+    ``make_adamw_layer_decay_optimizer``.
+    """
+    ms = jnp.asarray(milestones, jnp.int32)
+
+    def sched(count):
+        count = jnp.asarray(count, jnp.int32)
+        epoch = count // steps_per_epoch
+        n_passed = jnp.sum(epoch >= ms)
+        regular = base_lr * gamma ** n_passed.astype(jnp.float32)
+        frac = jnp.minimum(count.astype(jnp.float32) / warmup_iters, 1.0)
+        return regular * (1.0 - (1.0 - frac) * (1.0 - warmup_ratio))
+
+    return sched
+
+
+def make_adamw_layer_decay_optimizer(learning_rate=5e-4,
                                      weight_decay: float = 0.1,
                                      layer_decay_rate: float = 0.75,
                                      depth: int = 12,
                                      max_grad_norm: float = 1.0
                                      ) -> optax.GradientTransformation:
     """The reference's from-scratch AdamW recipe (train_configs/
-    ViTPose_base_coco_256x192.py:7-31): AdamW(lr, wd=0.1) + layer decay +
-    grad clip.  Bias/norm/pos-embed get no weight decay (common.py:7-12)."""
+    ViTPose_base_coco_256x192.py:7-31): AdamW(lr=5e-4, wd=0.1) + layer
+    decay + grad clip.  Bias/norm/pos-embed get no weight decay
+    (common.py:7-12).  ``learning_rate`` may be a float or an optax
+    schedule — pass ``make_step_lr_schedule(...)`` for the full recipe
+    (linear warmup 500 iters from ratio 1e-3, x0.1 at epochs [170, 200])."""
     def wd_mask(params):
         def visit(path, x):
             keys = [str(getattr(p, "key", "")) for p in path]
@@ -122,6 +158,21 @@ def set_learning_rate(opt_state, lr: float):
         return s
     return jax.tree.map(visit, opt_state,
                         is_leaf=lambda s: hasattr(s, "hyperparams"))
+
+
+def get_learning_rate(opt_state) -> float:
+    """Read the realized current LR out of an inject_hyperparams state
+    (after an update this is the schedule's last-evaluated value)."""
+    found = []
+
+    def visit(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            found.append(float(s.hyperparams["learning_rate"]))
+        return s
+
+    jax.tree.map(visit, opt_state,
+                 is_leaf=lambda s: hasattr(s, "hyperparams"))
+    return found[0] if found else float("nan")
 
 
 def init_train_state(params, tx: optax.GradientTransformation) -> Dict[str, Any]:
@@ -218,3 +269,88 @@ def jit_data_parallel(step_fn, mesh, donate_state: bool = True):
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
+                            mesh, *, use_amp: bool = True,
+                            loss_fn: Callable = joints_mse_loss,
+                            block_impl: str = "pallas_train",
+                            donate_state: bool = True):
+    """Data-parallel train step via ``shard_map`` (explicit SPMD).
+
+    The GSPMD wrapper (``jit_data_parallel``) relies on XLA's sharding
+    propagation, which has no partitioning rule for ``pallas_call`` — on a
+    real multi-chip mesh it may all-gather the batch and run the fused
+    custom-VJP kernels replicated.  This wrapper instead runs the whole
+    per-device computation inside ``shard_map`` over the 'data' axis, so
+    the Pallas train kernels see exactly the B/n_dev local shard *by
+    construction* (the treatment pipeline/stream.py gave sharded serving).
+
+    Single-program semantics are preserved exactly:
+      * drop-path masks are drawn for the GLOBAL batch outside shard_map
+        (replicated rng) and row-sharded in — same draws as the
+        single-device step;
+      * head BN batch statistics are computed globally (pmean of shard
+        moments — torch SyncBatchNorm semantics; see models/head.py
+        batch_norm(axis_name=...));
+      * gradients/loss are pmean'd over 'data', then the optimizer update
+        runs identically (replicated) on every device.
+
+    Same (state, batch, rng) -> (state, metrics) contract as
+    ``jit_data_parallel(make_train_step(...))``.
+    Reference mapping: SURVEY §2.3 DDP (train_valid_fn.py:59-68).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.vit import draw_drop_path_masks
+
+    axis = "data"
+
+    def device_step(state, batch, masks):
+        def compute_loss(trainable):
+            params = merge_bn_state(trainable, state["bn_state"])
+            fwd_params = cast_params(params, jnp.bfloat16) if use_amp \
+                else params
+            x = batch["images"].astype(jnp.bfloat16 if use_amp
+                                       else jnp.float32)
+            heat, new_bn = vitpose_forward_train(
+                fwd_params, x, cfg, block_impl=block_impl,
+                drop_path_masks=masks, axis_name=axis)
+            loss = loss_fn(heat, batch["targets"], batch["target_weights"])
+            return loss, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state["params"])
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        gnorm = optax.global_norm(grads)
+        new_state = {
+            "params": new_params,
+            "opt_state": new_opt,
+            "bn_state": jax.tree.map(jnp.asarray, new_bn),
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    inner = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(None, axis, None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(state, batch, rng):
+        B = batch["images"].shape[0]
+        masks = draw_drop_path_masks(rng, cfg.backbone, B)
+        return inner(state, batch, masks)
+
+    rep = meshlib.replicated(mesh)
+    shard = meshlib.batch_sharded(mesh)
+    return jax.jit(step,
+                   in_shardings=(rep, shard, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate_state else ())

@@ -90,6 +90,34 @@ def test_train_two_epochs_loss_decreases(coco_dir, tmp_path):
     assert os.path.exists(str(tmp_path / "run" / "last.npz"))
 
 
+def test_from_scratch_preset_loop_realizes_warmup(coco_dir, tmp_path):
+    """train_model with the from-scratch preset builds the AdamW
+    layer-decay optimizer with the warmup/step schedule; the history's
+    realized LR must sit on the reference warmup ramp (2 epochs x 2
+    steps -> last update is iter 3 of the 500-iter ramp from 5e-4*1e-3)."""
+    from easy_vitpose_tpu.train import presets
+
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    settings = presets.from_scratch(
+        "b", total_epochs=2, batch_size=8, use_amp=False, save_interval=0,
+        ckpt_topk_epoch=0, work_dir=str(tmp_path / "run"))
+    # tiny model depth=2, but layer-decay depth comes from cfg inside the
+    # loop, so the preset's ViT-B numbers elsewhere are untouched
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    out = train_model(params, cfg, ds, None, settings, log=lambda s: None)
+    hist = out["history"]
+    assert len(hist) == 2
+    spe = len(ds) // 8  # 2 steps/epoch
+
+    def mmcv_warmup(it):
+        return 5e-4 * (1 - (1 - it / 500) * (1 - 1e-3))
+
+    assert hist[0]["lr"] == pytest.approx(mmcv_warmup(spe - 1), rel=1e-4)
+    assert hist[1]["lr"] == pytest.approx(mmcv_warmup(2 * spe - 1), rel=1e-4)
+    assert np.isfinite(hist[1]["train_loss"])
+
+
 class _Subset:
     def __init__(self, ds, n):
         self.ds, self.n = ds, n
