@@ -56,14 +56,28 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     return y.astype(x.dtype)
 
 
-def batch_norm(x: jnp.ndarray, p: Params, *, train: bool) -> Tuple[jnp.ndarray, Params]:
-    """BatchNorm2d over NHWC. Returns (y, updated_state)."""
+def batch_norm(x: jnp.ndarray, p: Params, *, train: bool,
+               axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, Params]:
+    """BatchNorm2d over NHWC. Returns (y, updated_state).
+
+    ``axis_name``: when running per-device inside ``shard_map`` over a
+    data-parallel mesh axis, pass its name — batch statistics are then
+    computed over the GLOBAL batch (pmean of the shard moments), matching
+    the single-program semantics (torch SyncBatchNorm equivalent).
+    """
     if train:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * n / max(n - 1, 1)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            var = jax.lax.pmean(
+                jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2)), axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        else:
+            var = jnp.var(xf, axis=(0, 1, 2))
+        unbiased = var * n / max(n - 1, 1) if axis_name is None \
+            else var * n / (n - 1)
         new_state = {
             "mean": (1 - BN_MOMENTUM) * p["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * p["var"] + BN_MOMENTUM * unbiased,
@@ -77,17 +91,20 @@ def batch_norm(x: jnp.ndarray, p: Params, *, train: bool) -> Tuple[jnp.ndarray, 
 
 
 def head_forward(params: Params, x: jnp.ndarray, cfg: HeadConfig,
-                 *, train: bool = False) -> Tuple[jnp.ndarray, Params]:
+                 *, train: bool = False,
+                 axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, Params]:
     """(B, Hp, Wp, D) features -> (B, 4*Hp, 4*Wp, K) heatmaps (NHWC).
 
     Returns (heatmaps, new_bn_state) where new_bn_state mirrors
     ``params['bn_state']`` (running mean/var per deconv stage).
+    ``axis_name``: see :func:`batch_norm` (global BN stats under shard_map).
     """
     new_bn = []
     for i, k in enumerate(cfg.deconv_kernels):
         x = conv_transpose_s2(x, params["deconv"][i]["w"], k)
         y, st = batch_norm(x, {**params["deconv"][i]["bn"],
-                               **params["bn_state"][i]}, train=train)
+                               **params["bn_state"][i]}, train=train,
+                           axis_name=axis_name)
         new_bn.append(st)
         x = jnp.maximum(y, 0)
     if cfg.upsample and cfg.upsample > 1:

@@ -55,7 +55,7 @@ def patch_embed(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
       w: (patch*patch*3, D) flattened projection (converted from torch OIHW).
       b: (D,)
     Returns:
-      (B, Hp*Wp, D) tokens; Hp/Wp include the reference's padding=4 quirk.
+      (B, Hp*Wp, D) tokens; Hp/Wp include the reference's padding=2 quirk.
     """
     B, H, W, C = x.shape
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -129,11 +129,30 @@ def block(x: jnp.ndarray, p: Params, num_heads: int, eps: float,
     return x + m
 
 
+def draw_drop_path_masks(rng: jax.Array, cfg: BackboneConfig,
+                         B: int) -> jnp.ndarray:
+    """Per-layer stochastic-depth keep masks, pre-scaled by 1/keep_prob.
+
+    Returns (depth, B, 1, 1) f32.  Extracted from vit_forward so a
+    data-parallel shard_map wrapper can draw the masks for the GLOBAL
+    batch once (replicated rng -> identical draws everywhere) and shard
+    the rows — reproducing the single-program draw pattern exactly.
+    """
+    depth = cfg.depth
+    dpr = np.linspace(0.0, cfg.drop_path_rate, depth).astype(np.float32)
+    keys = jax.random.split(rng, depth)
+    keep_prob = 1.0 - jnp.asarray(dpr)
+    return jax.vmap(
+        lambda k, kp: jnp.floor(kp + jax.random.uniform(k, (B, 1, 1))) / kp
+    )(keys, keep_prob)
+
+
 def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
                 *, train: bool = False, rng: Optional[jax.Array] = None,
                 unroll: bool = False, remat: bool = False,
                 attn_impl: str = "einsum",
-                block_impl: str = "xla") -> jnp.ndarray:
+                block_impl: str = "xla",
+                drop_path_masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Run the backbone.
 
     Args:
@@ -166,15 +185,15 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
     tokens = tokens + (pe[:, 1:] + pe[:, :1]).astype(tokens.dtype)
 
     depth = cfg.depth
-    dpr = np.linspace(0.0, cfg.drop_path_rate, depth).astype(np.float32)
     use_dp = train and cfg.drop_path_rate > 0.0
-    if use_dp:
+    if drop_path_masks is not None:
+        # pre-drawn (depth, B, 1, 1) masks (shard_map DP path slices the
+        # global draw); overrides the in-function draw
+        masks = drop_path_masks
+        use_dp = True
+    elif use_dp:
         assert rng is not None, "rng required for drop-path in training"
-        keys = jax.random.split(rng, depth)
-        keep_prob = 1.0 - jnp.asarray(dpr)
-        masks = jax.vmap(
-            lambda k, kp: jnp.floor(kp + jax.random.uniform(k, (B, 1, 1))) / kp
-        )(keys, keep_prob)  # (depth, B, 1, 1), pre-scaled by 1/keep
+        masks = draw_drop_path_masks(rng, cfg, B)
     else:
         masks = None
 

@@ -35,15 +35,23 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
 def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                           rng: Optional[jax.Array] = None,
                           remat: bool = False,
-                          block_impl: str = "xla") -> Tuple[jnp.ndarray, Any]:
+                          block_impl: str = "xla",
+                          drop_path_masks=None,
+                          axis_name: Optional[str] = None
+                          ) -> Tuple[jnp.ndarray, Any]:
     """Training forward: returns (heatmaps NCHW, new_bn_state).
 
     block_impl='pallas_train' selects the custom-VJP fused block
     (models/fused_block_train.py) — fused forward AND backward on TPU.
+    ``drop_path_masks``/``axis_name``: per-device shard_map DP path —
+    pre-drawn global stochastic-depth masks and the mesh data axis for
+    global BN statistics (see train/step.py make_train_step_sharded).
     """
     feats = vit_forward(params["backbone"], x, cfg.backbone, train=True,
-                        rng=rng, remat=remat, block_impl=block_impl)
-    heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True)
+                        rng=rng, remat=remat, block_impl=block_impl,
+                        drop_path_masks=drop_path_masks)
+    heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True,
+                                axis_name=axis_name)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
 
 
