@@ -180,3 +180,50 @@ def vitpose_plus_forward_train(params: Params, x: jnp.ndarray,
     head_cfg = dataclasses.replace(cfg.head, num_keypoints=k_task)
     heat, new_bn = head_forward(head_p, feats, head_cfg, train=True)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
+
+
+def init_vitpose_plus_params(rng: jax.Array, cfg: ModelConfig,
+                             tasks=("coco", "aic"),
+                             expert_frac: float = 0.25,
+                             dtype=jnp.float32) -> Params:
+    """Random-init a multi-task ViTPose+ tree (same structure the
+    checkpoint converter produces: ``{"backbone": ..., "heads": {...}}``).
+
+    ``tasks`` must be a prefix of the reference's canonical expert order
+    (convert/model_split.py SPLIT_DATASETS); ``expert_frac`` is the
+    fraction of the FFN output dim owned by the per-task expert slice
+    (the part-shared FFN of upstream ViTPose+).  Used by tests and the
+    driver's EP dryrun — real checkpoints come from
+    convert/vitpose_plus.py.
+    """
+    from ..convert.model_split import SPLIT_DATASETS
+    from ..skeletons import num_keypoints
+    from .head import init_head_params
+    from .vit import init_vit_params
+
+    for i, t in enumerate(tasks):
+        assert SPLIT_DATASETS[i] == t, \
+            f"tasks must be a prefix of {SPLIT_DATASETS}"
+    D = cfg.backbone.embed_dim
+    depth = cfg.backbone.depth
+    E = len(tasks)
+    d_exp = max(int(D * expert_frac), 1)
+    d_shared = D - d_exp
+    kb, ke, *kh = jax.random.split(rng, 2 + E)
+    backbone = init_vit_params(kb, cfg.backbone, dtype)
+    m = backbone["blocks"]["mlp"]
+    hidden = m["fc2_w"].shape[1]
+    backbone["blocks"]["mlp"] = {
+        "fc1_w": m["fc1_w"], "fc1_b": m["fc1_b"],
+        "fc2_w": m["fc2_w"][..., :d_shared],
+        "fc2_b": m["fc2_b"][..., :d_shared],
+        "fc2_expert_w": (jax.random.truncated_normal(
+            ke, -2.0, 2.0, (depth, E, hidden, d_exp)) * 0.02).astype(dtype),
+        "fc2_expert_b": jnp.zeros((depth, E, d_exp), dtype),
+    }
+    heads = {}
+    for i, t in enumerate(tasks):
+        k_task = num_keypoints(t)
+        hc = dataclasses.replace(cfg.head, num_keypoints=k_task)
+        heads[t] = init_head_params(kh[i], hc, dtype)
+    return {"backbone": backbone, "heads": heads}

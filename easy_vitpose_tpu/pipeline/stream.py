@@ -104,7 +104,7 @@ class MultiStreamPose:
         streams holds slots [0, k*max_pp) whose local frame index is just
         slot // max_pp — no collectives at all."""
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         max_pp = self.max_pp
         cfg, dtype, impl = self.cfg, self.dtype, self.block_impl
 
