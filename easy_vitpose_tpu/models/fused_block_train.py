@@ -451,28 +451,35 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
     return out[:B], x1[:B]
 
 
-def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
-                          interpret: bool):
-    B0, N, D = x.shape
-    hidden = p["mlp"]["fc1_w"].shape[-1]
-    G = min(_tile(D), B0)
-    x, B, Bp = _pad(x, G)
-    x1, _, _ = _pad(x1, G)
-    dout, _, _ = _pad(dout, G)
-    dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
+def _tok_dp_specs(G, N, D, Bp):
     tok_spec = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     dp_spec = pl.BlockSpec((Bp, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
+    return tok_spec, dp_spec
 
-    def acc_specs(shapes):
-        """Constant-index accumulator outputs (f32)."""
-        specs, shps = [], []
-        for s in shapes:
-            specs.append(pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
-                                      memory_space=pltpu.VMEM))
-            shps.append(jax.ShapeDtypeStruct(s, jnp.float32))
-        return specs, shps
+
+def _acc_specs(shapes):
+    """Constant-index accumulator outputs (f32)."""
+    specs, shps = [], []
+    for s in shapes:
+        specs.append(pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM))
+        shps.append(jax.ShapeDtypeStruct(s, jnp.float32))
+    return specs, shps
+
+
+def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
+                         interpret):
+    """Padded (Bp, N, D) inputs -> (dx1, dW1, db1, dW2, db2, ds2, dbeta2).
+
+    Standalone so scripts/bench_train_decompose.py can time the MLP and
+    attention backward kernels separately."""
+    Bp, N, D = x1.shape
+    hidden = p["mlp"]["fc1_w"].shape[-1]
+    tok_spec, dp_spec = _tok_dp_specs(G, N, D, Bp)
+    acc_specs = _acc_specs
+    x = x1  # dtype reference only
 
     # ---- MLP backward ----
     # hidden chunking bounds VMEM for wide MLPs: without it the f32
@@ -558,16 +565,22 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
+    return dx1, dW1, db1, dW2, db2, ds2, dbeta2
 
-    # ---- attention backward ----
+
+def _attn_backward_padded(x, dx1, dp, p, cfg: BackboneConfig, G: int,
+                          interpret):
+    """Padded inputs -> (dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1)."""
+    Bp, N, D = x.shape
+    tok_spec, dp_spec = _tok_dp_specs(G, N, D, Bp)
     ws_attn = [_row(p["ln1_s"]), _row(p["ln1_b"]), p["qkv_w"],
                _row(p["qkv_b"]), p["proj_w"]]
-    attn_acc_specs, attn_acc_shapes = acc_specs(
+    attn_acc_specs, attn_acc_shapes = _acc_specs(
         [(D, 3 * D), (1, 3 * D), (D, D), (1, D), (1, D), (1, D)])
     kern = functools.partial(_bwd_attn_kernel, G=G, N=N, D=D,
                              num_heads=cfg.num_heads,
                              eps=cfg.layer_norm_eps)
-    dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(Bp // G,),
         in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_attn),
@@ -577,6 +590,21 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
         interpret=interpret,
     )(x, dx1, dp, *ws_attn)
+
+
+def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
+                          interpret):
+    B0, N, D = x.shape
+    G = min(_tile(D), B0)
+    x, B, Bp = _pad(x, G)
+    x1, _, _ = _pad(x1, G)
+    dout, _, _ = _pad(dout, G)
+    dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
+
+    dx1, dW1, db1, dW2, db2, ds2, dbeta2 = _mlp_backward_padded(
+        x1, dout, dp, p, cfg, G, interpret)
+    dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = _attn_backward_padded(
+        x, dx1, dp, p, cfg, G, interpret)
 
     def like(g, ref):
         return g.reshape(ref.shape).astype(ref.dtype)

@@ -117,7 +117,7 @@ class MultiStreamPose:
         return jax.jit(shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis)),
-            out_specs=P(axis), check_rep=False))
+            out_specs=P(axis), check_vma=False))
 
     def _upload(self, frames):
         assert len(frames) == self.n

@@ -55,6 +55,74 @@ def test_infer_cli_video(vits_ckpt, tmp_path):
     assert len(data["keypoints"]) == 3
 
 
+def test_infer_cli_video_modes_agree(vits_ckpt, tmp_path):
+    """The reference's primary entry point is video inference
+    (reference inference.py:19-146).  Full e2e: synthetic clip with a
+    moving high-contrast 'person' rectangle, a real (random-weight)
+    YOLOv8n detector, then the SAME clip through the plain, --pipelined
+    and --batch CLI paths — the three modes must produce the same
+    per-frame track ids and keypoints, and a playable annotated video."""
+    import jax
+
+    from easy_vitpose_tpu.cli.infer import main
+    from easy_vitpose_tpu.convert.yolo_torch import save_yolo_npz
+    from easy_vitpose_tpu.detect import yolo as Y
+
+    yolo_p = str(tmp_path / "yolov8n.npz")
+    save_yolo_npz(yolo_p,
+                  Y.init_yolo_params(jax.random.PRNGKey(0), Y.YoloSpec("n")),
+                  "n", 80)
+
+    vp = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"MJPG"), 10, (160, 120))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    n_frames = 5
+    for t in range(n_frames):
+        frame = rng.integers(0, 40, (120, 160, 3), np.uint8)
+        x0 = 20 + 6 * t
+        frame[20:100, x0:x0 + 40] = (220, 180, 160)  # moving "person"
+        w.write(frame)
+    w.release()
+
+    results = {}
+    for name, extra in [("plain", []), ("pipelined", ["--pipelined"]),
+                        ("batch", ["--batch", "3"])]:
+        out = str(tmp_path / f"out_{name}")
+        main(["--input", vp, "--model", vits_ckpt, "--model-name", "s",
+              "--yolo", yolo_p, "--yolo-size", "160", "--single-pose",
+              "--output-path", out, "--save-json", "--dtype", "fp32"]
+             + extra)
+        assert os.path.exists(os.path.join(out, "clip_out.mp4"))
+        with open(os.path.join(out, "clip_keypoints.json")) as f:
+            results[name] = json.load(f)["keypoints"]
+
+    assert all(len(r) == n_frames for r in results.values())
+    for t in range(n_frames):
+        ids = {name: sorted(results[name][t]) for name in results}
+        assert ids["pipelined"] == ids["plain"], f"frame {t}: {ids}"
+        assert ids["batch"] == ids["plain"], f"frame {t}: {ids}"
+        for tid in ids["plain"]:
+            a = np.asarray(results["plain"][t][tid])
+            for other in ("pipelined", "batch"):
+                np.testing.assert_allclose(
+                    np.asarray(results[other][t][tid]), a, atol=1e-3,
+                    err_msg=f"{other} diverges at frame {t} track {tid}")
+
+    # annotated output is a playable video with every frame written
+    cap = cv2.VideoCapture(os.path.join(str(tmp_path / "out_plain"),
+                                        "clip_out.mp4"))
+    count = 0
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        assert fr.shape == (120, 160, 3)
+        count += 1
+    cap.release()
+    assert count == n_frames
+
+
 def test_videoreader_prefetch(tmp_path):
     from easy_vitpose_tpu.utils.io import VideoReader, video_metadata
     vp = str(tmp_path / "clip.avi")
