@@ -55,6 +55,7 @@ def test_infer_cli_video(vits_ckpt, tmp_path):
     assert len(data["keypoints"]) == 3
 
 
+@pytest.mark.slow
 def test_infer_cli_video_modes_agree(vits_ckpt, tmp_path):
     """The reference's primary entry point is video inference
     (reference inference.py:19-146).  Full e2e: synthetic clip with a
