@@ -305,13 +305,21 @@ def batch_iterator(ds: CocoPoseDataset, batch_size: int,
     SENT = object()
 
     def worker():
-        for bi in range(n_batches):
-            q.put(make(bi))
-        q.put(SENT)
+        # a raising dataset must fail the consumer loudly, not strand it
+        # on q.get() forever (failure-detection: the reference's
+        # DataLoader re-raises worker errors too)
+        try:
+            for bi in range(n_batches):
+                q.put(make(bi))
+            q.put(SENT)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is SENT:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

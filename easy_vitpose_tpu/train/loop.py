@@ -104,13 +104,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     assert settings.batch_size % n_dev == 0, \
         f"batch {settings.batch_size} not divisible by {n_dev} devices"
 
+    steps_per_epoch = max(len(train_ds) // settings.batch_size, 1)
     if settings.optimizer == "adamw_layer_decay":
         # from-scratch recipe: AdamW + layer decay + (optionally) the
         # warmup/milestone step policy, all inside the optimizer
         if settings.freeze_backbone:
             raise ValueError("freeze_backbone is a finetune option; the "
                              "from-scratch AdamW recipe trains everything")
-        steps_per_epoch = max(len(train_ds) // settings.batch_size, 1)
         lr = settings.lr
         if settings.lr_policy == "step":
             lr = steplib.make_step_lr_schedule(
@@ -130,8 +130,9 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     if settings.resume_state_dir:
         from .orbax_ckpt import restore_train_state
         state = restore_train_state(settings.resume_state_dir, template=state)
+        start_epoch = int(state["step"]) // steps_per_epoch
         log(f"resumed full train state from {settings.resume_state_dir} "
-            f"(step {int(state['step'])})")
+            f"(step {int(state['step'])} -> epoch {start_epoch})")
     state = meshlib.replicate(mesh, state)
     if settings.block_impl.startswith("pallas_train") and n_dev > 1:
         # explicit-SPMD wrapper: the fused Pallas kernels are partitioned
@@ -170,7 +171,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         f"lr {settings.lr}, amp {settings.use_amp}, "
         f"{sum(x.size for x in jax.tree.leaves(params)):,d} params ==#")
 
-    for epoch in range(settings.total_epochs):
+    for epoch in range(start_epoch, settings.total_epochs):
         t0 = time.time()
         losses = []
         it = batch_iterator(train_ds, settings.batch_size, shuffle=True,
