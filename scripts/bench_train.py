@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="custom-VJP fused Pallas train block")
+    ap.add_argument("--ab", action="store_true",
+                    help="interleave reps with the XLA-block step in the "
+                         "same process (trustworthy speedup on the "
+                         "drifting tunnel)")
+    ap.add_argument("--ab-remat", action="store_true",
+                    help="remat the XLA baseline only (L/H fit)")
     ap.add_argument("--grad-check", action="store_true",
                     help="before timing, check fused-block grads vs the "
                          "XLA block ON THIS BACKEND (catches TPU-only "
@@ -113,7 +119,20 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"loss={float(metrics['loss']):.5f}", flush=True)
 
-    times = []
+    step_b = None
+    if args.ab:
+        # interleaved A/B vs the XLA block within ONE process — the only
+        # timing comparison the drifting tunnel makes trustworthy
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                         remat=args.remat or args.ab_remat,
+                                         block_impl="xla"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        print("xla baseline compiled", flush=True)
+
+    times, times_b = [], []
     for rep in range(args.reps):
         t0 = time.perf_counter()
         for _ in range(args.steps):
@@ -121,17 +140,28 @@ def main():
         float(metrics["loss"])  # single fetch = hard sync
         dt = (time.perf_counter() - t0) / args.steps
         times.append(dt * 1e3)
-        print(f"rep {rep}: {dt * 1e3:7.2f} ms/step ({B / dt:7.0f} imgs/s)",
-              flush=True)
+        line = f"rep {rep}: {dt * 1e3:7.2f} ms/step ({B / dt:7.0f} imgs/s)"
+        if step_b is not None:
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state_b, mb = step_b(state_b, batch, key)
+            float(mb["loss"])
+            dtb = (time.perf_counter() - t0) / args.steps
+            times_b.append(dtb * 1e3)
+            line += f"  | xla {dtb * 1e3:7.2f} ms"
+        print(line, flush=True)
 
     med = float(np.median(times))
-    # fwd 12*D^2/token matmul FLOPs + attn; bwd ~2x fwd
     result = {
         "size": args.size, "batch": B,
         "amp": not args.fp32, "remat": args.remat, "fused": args.fused,
         "ms_per_step": round(med, 2),
         "imgs_per_s": round(B / (med / 1e3), 1),
     }
+    if times_b:
+        medb = float(np.median(times_b))
+        result["xla_ms_per_step"] = round(medb, 2)
+        result["speedup_vs_xla"] = round(medb / med, 3)
     print(json.dumps(result))
 
 
