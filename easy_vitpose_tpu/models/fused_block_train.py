@@ -395,10 +395,16 @@ def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
 from jax.experimental import pallas as pl          # noqa: E402
 from jax.experimental.pallas import tpu as pltpu   # noqa: E402
 
-_VMEM = 110 * 1024 * 1024
+import os as _os  # noqa: E402
+
+def _vmem() -> int:
+    return int(_os.environ.get("EVT_TRAIN_VMEM", 110 * 1024 * 1024))
 
 
 def _tile(D: int) -> int:
+    ov = _os.environ.get("EVT_TRAIN_TILE")
+    if ov:
+        return int(ov)
     return 2 if D <= 768 else 4
 
 
@@ -445,7 +451,7 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
         out_specs=(tok_spec, tok_spec),
         out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
                    jax.ShapeDtypeStruct((Bp, N, D), x.dtype)),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
         interpret=interpret,
     )(x, dp, *ws)
     return out[:B], x1[:B]
@@ -504,7 +510,7 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
             in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
             out_specs=(tok_spec, *acc1),
             out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
     else:
@@ -519,7 +525,7 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
             in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
             out_specs=(tok_spec, *acc1),
             out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
 
@@ -562,7 +568,7 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
             in_specs=dw_in_specs,
             out_specs=dw_out_specs,
             out_shape=dw_out_shapes,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
     return dx1, dW1, db1, dW2, db2, ds2, dbeta2
@@ -587,7 +593,7 @@ def _attn_backward_padded(x, dx1, dp, p, cfg: BackboneConfig, G: int,
         out_specs=(tok_spec, *attn_acc_specs),
         out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
                    *attn_acc_shapes),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
         interpret=interpret,
     )(x, dx1, dp, *ws_attn)
 
