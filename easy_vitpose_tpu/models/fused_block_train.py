@@ -401,11 +401,28 @@ def _vmem() -> int:
     return int(_os.environ.get("EVT_TRAIN_VMEM", 110 * 1024 * 1024))
 
 
+def _vmem_mlp() -> int:
+    # the G=8 MLP-backward tile needs ~115 MB scoped VMEM; hardware caps
+    # at 128 MB — a LIMIT, not an allocation, so safe for smaller tiles
+    return int(_os.environ.get("EVT_TRAIN_VMEM", 125829120))
+
+
 def _tile(D: int) -> int:
     ov = _os.environ.get("EVT_TRAIN_TILE")
     if ov:
         return int(ov)
     return 2 if D <= 768 else 4
+
+
+def _tile_mlp_bwd(D: int) -> int:
+    """Batch tile for the MLP-backward kernel only.  The r3 decompose
+    sweep (PERF.md): larger tiles amortize the LN2/GELU vector work and
+    lengthen the dW contraction dim — G=8 cuts bwd-MLP ~10% while the
+    forward/attention kernels prefer G=2; per-kernel tiles take both."""
+    ov = _os.environ.get("EVT_TRAIN_TILE_MLP")
+    if ov:
+        return int(ov)
+    return 8 if D <= 768 else 4
 
 
 def _row(v):
@@ -510,7 +527,8 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
             in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
             out_specs=(tok_spec, *acc1),
             out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_mlp()),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
     else:
@@ -606,9 +624,14 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
     x1, _, _ = _pad(x1, G)
     dout, _, _ = _pad(dout, G)
     dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
+    # MLP backward runs its own (larger) batch tile when it divides the
+    # padded batch; otherwise it falls back to the attention tile
+    Gm = _tile_mlp_bwd(D)
+    if Bp % Gm:
+        Gm = G
 
     dx1, dW1, db1, dW2, db2, ds2, dbeta2 = _mlp_backward_padded(
-        x1, dout, dp, p, cfg, G, interpret)
+        x1, dout, dp, p, cfg, Gm, interpret)
     dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = _attn_backward_padded(
         x, dx1, dp, p, cfg, G, interpret)
 

@@ -105,6 +105,10 @@ def main():
         print(f"grad-check OK (worst rel err {worst:.2e})", flush=True)
 
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    # host snapshot: the fused step donates its state, whose params alias
+    # these buffers (init_train_state does not copy) — the --ab baseline
+    # must be able to re-init from them AFTER the first donating step
+    params = jax.tree.map(np.asarray, params)
     tx = make_optimizer(5e-4)
     state = init_train_state(params, tx)
     step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
@@ -137,9 +141,7 @@ def main():
                                          remat=args.remat or args.ab_remat,
                                          block_impl="xla"),
                          donate_argnums=())
-        # deep-copy: the fused step donates ITS state, whose params alias
-        # the same buffers (init_train_state does not copy)
-        state_b = init_train_state(jax.tree.map(jnp.array, params), tx)
+        state_b = init_train_state(params, tx)  # params are host numpy
         sb, mb = step_b(state_b, batch, key)
         jax.block_until_ready(sb)
         print("xla baseline compiled", flush=True)

@@ -167,7 +167,29 @@ def test_grads_match_wide_model_chunked():
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-@pytest.mark.parametrize("D,heads,B", [(96, 4, 5), (1024, 8, 8)])
+def test_grads_match_large_batch_mlp_tile(setup):
+    """B=16 activates the G=8 MLP-backward tile (per-kernel tiles, r3):
+    gradients must match XLA across the different mlp/attn paddings."""
+    cfg, layer, _, _ = setup
+    x = jax.random.normal(jax.random.PRNGKey(9), (16, cfg.num_tokens, 96),
+                          jnp.float32)
+    dp = jnp.ones((16,), jnp.float32)
+    fused = make_fused_block_train(cfg, interpret=True)
+    gx_a, gp_a = jax.grad(_xla_loss, argnums=(0, 1))(x, layer, dp, cfg)
+    gx_b, gp_b = jax.grad(_fused_loss, argnums=(0, 1))(x, layer, dp, cfg,
+                                                       fused)
+    sx = float(jnp.max(jnp.abs(gx_a))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_a),
+                               atol=2e-4 * sx)
+    for ga, gb in zip(jax.tree_util.tree_leaves(gp_a),
+                      jax.tree_util.tree_leaves(gp_b)):
+        s = float(jnp.max(jnp.abs(ga))) + 1e-9
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=3e-4 * s)
+
+
+@pytest.mark.parametrize("D,heads,B", [(96, 4, 5), (96, 4, 16),
+                                       (1024, 8, 8)])
 def test_tpu_interpret_pipelining(D, heads, B):
     """Run fwd+bwd under the TPU interpreter (pltpu.InterpretParams),
     which simulates real TPU output-block pipelining and raises
