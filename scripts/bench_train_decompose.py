@@ -76,8 +76,11 @@ def main():
 
     fwd = scanned(lambda c, layer: (
         fbt._fused_train_fwd_impl(c, dp, layer, bcfg, False)[0], None))
+    Gm = fbt._tile_mlp_bwd(D)
+    if B % Gm:
+        Gm = G
     bwd_mlp = scanned(lambda c, layer: (
-        fbt._mlp_backward_padded(x, c, dp2, layer, bcfg, G, False)[0], None))
+        fbt._mlp_backward_padded(x, c, dp2, layer, bcfg, Gm, False)[0], None))
     bwd_attn = scanned(lambda c, layer: (
         fbt._attn_backward_padded(x, c, dp2, layer, bcfg, G, False)[0], None))
     bwd_full = scanned(lambda c, layer: (
@@ -95,15 +98,49 @@ def main():
     t_attn = bench(bwd_attn, dout)
     t_bwd = bench(bwd_full, dout)
 
-    # ---- the real full train step ----
+    # ---- outside-blocks components ----
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = init_train_state(params, tx)
+
+    from easy_vitpose_tpu.models.head import head_forward
+    from easy_vitpose_tpu.models.vitpose import cast_params
+    from easy_vitpose_tpu.train.losses import joints_mse_loss
+
+    K = cfg.head.num_keypoints
+    head_p = cast_params(params["head"], jnp.bfloat16)
+    Hp, Wp = bcfg.patch_shape
+    feats = jax.random.normal(jax.random.PRNGKey(4), (B, Hp, Wp, D), dt)
+    targets = jnp.asarray(np.random.default_rng(1)
+                          .uniform(0, 1, (B, K, 64, 48)).astype(np.float32))
+    tw = jnp.ones((B, K, 1), jnp.float32)
+
+    @jax.jit
+    def head_fwd_bwd(feats):
+        def loss_fn(f):
+            heat, _ = head_forward(head_p, f, cfg.head, train=True)
+            return joints_mse_loss(jnp.transpose(heat, (0, 3, 1, 2))
+                                   .astype(jnp.float32), targets, tw)
+        _, g = jax.value_and_grad(loss_fn)(feats)
+        return g
+
+    t_head = bench(head_fwd_bwd, feats)
+
+    grads = jax.tree.map(jnp.ones_like, state["params"])
+
+    @jax.jit
+    def opt_update(params_in):
+        upd, _ = tx.update(grads, state["opt_state"], params_in)
+        import optax
+        return optax.apply_updates(params_in, upd)
+
+    t_opt = bench(opt_update, state["params"])
+
+    # ---- the real full train step ----
     step = jax.jit(make_train_step(cfg, tx, use_amp=True,
                                    block_impl="pallas_train"),
                    donate_argnums=())
     rng = np.random.default_rng(0)
-    K = cfg.head.num_keypoints
     batch = {
         "images": jnp.asarray(rng.normal(0, 1, (B, 256, 192, 3))
                               .astype(np.float32)),
@@ -126,12 +163,14 @@ def main():
     t_step = float(np.median(times))
 
     result = {
-        "size": args.size, "batch": B, "depth": depth, "G": G,
+        "size": args.size, "batch": B, "depth": depth, "G": G, "G_mlp": Gm,
         "full_step_ms": round(t_step, 2),
         "fwd_blocks_ms": round(t_fwd, 2),
         "bwd_mlp_blocks_ms": round(t_mlp, 2),
         "bwd_attn_blocks_ms": round(t_attn, 2),
         "bwd_blocks_ms": round(t_bwd, 2),
+        "head_fwd_bwd_ms": round(t_head, 2),
+        "optimizer_ms": round(t_opt, 2),
         "outside_blocks_ms": round(t_step - t_fwd - t_bwd, 2),
     }
     print(json.dumps(result))
