@@ -91,7 +91,8 @@ def main():
         del out
         return _time_ms(
             lambda c: fn(seed_val if c is None else c),
-            lambda c: float(jnp.sum(c.astype(jnp.float32))))
+            lambda c: float(jnp.sum(
+                jax.tree.leaves(c)[0].astype(jnp.float32))))
 
     t_fwd = bench(fwd, x)
     t_mlp = bench(bwd_mlp, dout)
