@@ -166,7 +166,8 @@ def vitpose_plus_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
 
 def vitpose_plus_forward_train(params: Params, x: jnp.ndarray,
                                cfg: ModelConfig, task: str,
-                               block_impl: str = "xla"):
+                               block_impl: str = "xla",
+                               axis_name=None):
     """Training forward for one task: returns (heatmaps NCHW, new_bn_state
     for THAT task's head).  Multi-task finetuning alternates tasks across
     steps (the ViTPose+ recipe); gradients reach the shared backbone, the
@@ -178,7 +179,8 @@ def vitpose_plus_forward_train(params: Params, x: jnp.ndarray,
     head_p = params["heads"][task]
     k_task = head_p["final_w"].shape[-1]
     head_cfg = dataclasses.replace(cfg.head, num_keypoints=k_task)
-    heat, new_bn = head_forward(head_p, feats, head_cfg, train=True)
+    heat, new_bn = head_forward(head_p, feats, head_cfg, train=True,
+                                axis_name=axis_name)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
 
 

@@ -151,3 +151,70 @@ def make_moe_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                 {"loss": loss, "grad_norm": optax.global_norm(grads)})
 
     return step
+
+
+def make_moe_train_step_sharded(cfg: ModelConfig,
+                                tx: optax.GradientTransformation,
+                                mesh, task: str, *, use_amp: bool = True,
+                                loss_fn: Callable = joints_mse_loss,
+                                block_impl: str = "pallas_train",
+                                donate_state: bool = True):
+    """shard_map data-parallel MoE train step (the MoE twin of
+    train/step.py::make_train_step_sharded).
+
+    Runs the whole per-device computation — including the fused
+    custom-VJP Pallas kernels with the task expert spliced into a dense
+    fc2 — inside ``shard_map`` over 'data', so the kernels are
+    partitioned by construction.  Head BN batch statistics are global
+    (pmean of shard moments); grads/loss pmean before the replicated
+    masked update, so inactive tasks stay bit-frozen exactly as in the
+    single-program step.  (The MoE recipe has no drop-path, so no mask
+    plumbing is needed.)
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as meshlib
+
+    axis = "data"
+
+    def device_step(state, batch):
+        def compute_loss(trainable):
+            params = merge_bn_states_plus(trainable, state["bn_state"])
+            fwd = cast_params(params, jnp.bfloat16) if use_amp else params
+            x = batch["images"].astype(jnp.bfloat16 if use_amp
+                                       else jnp.float32)
+            heat, new_bn = vitpose_plus_forward_train(
+                fwd, x, cfg, task, block_impl=block_impl, axis_name=axis)
+            loss = loss_fn(heat, batch["targets"], batch["target_weights"])
+            return loss, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state["params"])
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        updates = _mask_inactive(updates, task)
+        new_opt = _restore_inactive_opt(new_opt, state["opt_state"], task)
+        new_params = optax.apply_updates(state["params"], updates)
+        bn = dict(state["bn_state"])
+        bn[task] = jax.tree.map(jnp.asarray, new_bn)
+        return ({"params": new_params, "opt_state": new_opt,
+                 "bn_state": bn, "step": state["step"] + 1},
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    inner = shard_map(device_step, mesh=mesh,
+                      in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                      check_vma=False)
+
+    def step(state, batch, rng):
+        del rng  # no drop-path in the MoE recipe
+        return inner(state, batch)
+
+    rep = meshlib.replicated(mesh)
+    shard = meshlib.batch_sharded(mesh)
+    return jax.jit(step,
+                   in_shardings=(rep, shard, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate_state else ())

@@ -361,3 +361,57 @@ def test_moe_fused_train_step_matches_xla(plus_sd):
     np.testing.assert_array_equal(ewb[:, 0], ew0[:, 0])
     np.testing.assert_array_equal(ewb[:, 2], ew0[:, 2])
     assert np.abs(ewb[:, 1] - ew0[:, 1]).max() > 0  # active expert moved
+
+
+def test_moe_sharded_step_matches_single_device(plus_sd):
+    """make_moe_train_step_sharded on the 8-device mesh: fused kernels
+    run per-shard inside shard_map; loss/params match the single-device
+    XLA MoE step and inactive experts stay bit-frozen."""
+    import optax
+    from easy_vitpose_tpu.parallel import mesh as meshlib
+    from easy_vitpose_tpu.train import step as steplib
+    from easy_vitpose_tpu.train.moe_step import (init_moe_train_state,
+                                                 make_moe_train_step,
+                                                 make_moe_train_step_sharded)
+
+    assert len(jax.devices()) == 8
+    params = convert_vitpose_plus_state_dict(plus_sd, CFG)
+    tx = optax.sgd(1e-3)  # linear in grads (see test_sharded_train.py)
+    rng = np.random.default_rng(7)
+    k = TASK_K["aic"]
+    batch_np = {
+        "images": rng.normal(size=(8, 256, 192, 3)).astype(np.float32),
+        "targets": rng.uniform(0, 1, (8, k, 64, 48)).astype(np.float32),
+        "target_weights": np.ones((8, k, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    sa = init_moe_train_state(params, tx)
+    sa, ma = jax.jit(make_moe_train_step(CFG, tx, "aic", use_amp=False))(
+        sa, {kk: jnp.asarray(v) for kk, v in batch_np.items()}, key)
+
+    mesh = meshlib.make_mesh()
+    sb = init_moe_train_state(params, tx)
+    step = make_moe_train_step_sharded(
+        CFG, tx, mesh, "aic", use_amp=False,
+        block_impl="pallas_train_interpret", donate_state=False)
+    sb, mb = step(meshlib.replicate(mesh, sb),
+                  meshlib.shard_batch(mesh, batch_np),
+                  meshlib.replicate(mesh, key))
+
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-5
+    for (path, a), c in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.tree.map(np.asarray, sa["params"])),
+            jax.tree_util.tree_leaves(
+                jax.tree.map(np.asarray, sb["params"]))):
+        np.testing.assert_allclose(
+            c, a, atol=5e-5,
+            err_msg=f"diverges at {jax.tree_util.keystr(path)}")
+    # inactive experts bit-identical through the sharded fused path
+    ew0 = np.asarray(params["backbone"]["blocks"]["mlp"]["fc2_expert_w"])
+    ewb = np.asarray(jax.tree.map(np.asarray, sb["params"])
+                     ["backbone"]["blocks"]["mlp"]["fc2_expert_w"])
+    np.testing.assert_array_equal(ewb[:, 0], ew0[:, 0])
+    np.testing.assert_array_equal(ewb[:, 2], ew0[:, 2])
+    assert np.abs(ewb[:, 1] - ew0[:, 1]).max() > 0
