@@ -155,6 +155,30 @@ def test_sharded_step_partitions_batch_by_construction():
         body_jaxpr)
 
 
+def test_sharded_step_amp_matches_gspmd():
+    """use_amp=True (the loop's default on the sharded path): bf16
+    forward + f32 grads must track the GSPMD fused AMP step."""
+    assert len(jax.devices()) == 8
+    mesh = meshlib.make_mesh()
+    state, batch_np, tx = _setup(B=8)
+    key = jax.random.PRNGKey(3)
+    step2 = trainlib.jit_data_parallel(
+        trainlib.make_train_step(CFG, tx, use_amp=True,
+                                 block_impl="pallas_train_interpret"),
+        mesh, donate_state=False)
+    _, m2 = step2(meshlib.replicate(mesh, state),
+                  meshlib.shard_batch(mesh, batch_np),
+                  meshlib.replicate(mesh, key))
+    step3 = trainlib.make_train_step_sharded(
+        CFG, tx, mesh, use_amp=True,
+        block_impl="pallas_train_interpret", donate_state=False)
+    _, m3 = step3(meshlib.replicate(mesh, state),
+                  meshlib.shard_batch(mesh, batch_np),
+                  meshlib.replicate(mesh, key))
+    assert np.isfinite(float(m3["loss"]))
+    assert m3["loss"] == pytest.approx(float(m2["loss"]), rel=1e-3)
+
+
 def test_sharded_step_no_drop_path():
     """drop_path_rate=0 path (masks of ones) also matches."""
     assert len(jax.devices()) == 8
