@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "int8"])
     p.add_argument("--single-pose", action="store_true")
+    p.add_argument("--smooth", action="store_true",
+                   help="One-Euro temporal keypoint smoothing per track "
+                        "(video only; the reference ships this filter "
+                        "but never wires it)")
     p.add_argument("--show", action="store_true")
     p.add_argument("--show-yolo", action="store_true")
     p.add_argument("--show-raw-yolo", action="store_true")
@@ -83,6 +87,7 @@ def run_one(args, input_path: str) -> None:
                          yolo_size=args.yolo_size, is_video=is_video,
                          single_pose=args.single_pose,
                          yolo_step=args.yolo_step, dtype=args.dtype,
+                         smooth=args.smooth,
                          fixed_slots=args.fixed_slots, device=args.device)
     print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
           f"dtype={args.dtype})")

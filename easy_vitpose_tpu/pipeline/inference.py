@@ -58,7 +58,9 @@ class VitInference:
                  flip_test: bool = False,
                  fixed_slots: Optional[int] = None,
                  yolo_rect: Optional[bool] = None,
-                 task: Optional[str] = None):
+                 task: Optional[str] = None,
+                 smooth: bool = False,
+                 smooth_params: Optional[dict] = None):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -66,6 +68,13 @@ class VitInference:
         self.yolo_size = yolo_size
         self.yolo_step = yolo_step
         self.is_video = is_video
+        # One-Euro temporal keypoint smoothing (video only) — the
+        # reference ships the filter but never wires it
+        # (post_processing/__init__.py:3 exports it unused); here
+        # smooth=True applies it per track id across frames
+        self.smooth = bool(smooth) and is_video
+        self._smooth_kw = dict(smooth_params or {})
+        self._smoothers = {}
         self.single_pose = single_pose
         self.max_people = max_people
         # Serving shape policy. Bucket flapping (person count crossing a
@@ -220,6 +229,7 @@ class VitInference:
         use_tracker = self.is_video and not self.single_pose
         self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
                             iou_threshold=0.3) if use_tracker else None
+        self._smoothers = {}
         self.frame_counter = 0
         # new video, new high-water mark (shrinking is free: previously
         # compiled shapes stay in the jit cache)
@@ -419,6 +429,10 @@ class VitInference:
                 for pid, score in zip(ids, scores):
                     outputs[i][pid] = out[k]
                     k += 1
+        if self.smooth:
+            # sequential in frame order: identical filter evolution to the
+            # frame-by-frame path
+            outputs = [self._apply_smoothing(o) for o in outputs]
 
         if self.save_state:
             self._window_states = []
@@ -430,6 +444,28 @@ class VitInference:
                      outputs[i], dict(zip(ids, scores))))
             self.select_frame_state(F - 1)
         return outputs
+
+    def _apply_smoothing(self, kps):
+        """Per-track One-Euro smoothing of (K, 3) keypoints (y/x only;
+        scores pass through).  A track's filter initializes on its first
+        frame and is dropped the frame the track disappears, so a
+        re-acquired id restarts clean."""
+        from ..ops.one_euro import OneEuroFilter
+        out = {}
+        for pid, kp in kps.items():
+            f = self._smoothers.get(pid)
+            if f is None:
+                self._smoothers[pid] = OneEuroFilter(kp[:, :2],
+                                                     **self._smooth_kw)
+                out[pid] = kp
+            else:
+                sm = kp.copy()
+                sm[:, :2] = f(kp[:, :2]).astype(kp.dtype)
+                out[pid] = sm
+        for pid in list(self._smoothers):
+            if pid not in kps:
+                del self._smoothers[pid]
+        return out
 
     def select_frame_state(self, i: int):
         """Point draw() at frame ``i`` of the last :meth:`inference_batched`
@@ -504,6 +540,8 @@ class VitInference:
             for i, (pid, score) in enumerate(zip(ids, scores)):
                 frame_keypoints[pid] = out[i]
                 scores_bbox[pid] = score
+        if self.smooth:
+            frame_keypoints = self._apply_smoothing(frame_keypoints)
 
         if self.save_state:
             self._img = img

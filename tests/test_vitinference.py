@@ -212,3 +212,68 @@ def test_pipelined_video_inference_matches_sync(ckpt_npz, yolo_npz):
     assert pipe.flush() is None
     # draw() state corresponds to the last RETURNED frame
     assert pipe._img is not None
+
+
+def test_one_euro_smoothing_integration(ckpt_npz):
+    """smooth=True (video): per-track One-Euro filtering reduces frame-to-
+    frame jitter, leaves scores untouched, matches the standalone filter
+    exactly, and resets per track and per video."""
+    from easy_vitpose_tpu.ops.one_euro import OneEuroFilter
+
+    frames = [_frame() for _ in range(6)]
+    # jittering but overlapping box -> one stable track
+    boxes = [np.array([[40 + 2 * (t % 2), 30, 200, 220, 0.9]], np.float32)
+             for t in range(6)]
+
+    m_raw = VitInference(ckpt_npz, model_name="s", dataset="coco",
+                         is_video=True)
+    m_raw.cfg = CASES["tiny"]
+    m_sm = VitInference(ckpt_npz, model_name="s", dataset="coco",
+                        is_video=True, smooth=True)
+    m_sm.cfg = CASES["tiny"]
+    raw, smth = [], []
+    for f, b in zip(frames, boxes):
+        raw.append(m_raw.inference(f, bboxes=b))
+        smth.append(m_sm.inference(f, bboxes=b))
+    pid = list(raw[0])[0]
+    # first frame passes through (filter initialization)
+    np.testing.assert_array_equal(smth[0][pid], raw[0][pid])
+    # scores never touched
+    for r, s in zip(raw, smth):
+        np.testing.assert_array_equal(s[pid][:, 2], r[pid][:, 2])
+    # smoothed == the standalone filter applied to the raw stream
+    filt = OneEuroFilter(raw[0][pid][:, :2])
+    for t in range(1, 6):
+        expect = filt(raw[t][pid][:, :2]).astype(np.float32)
+        np.testing.assert_allclose(smth[t][pid][:, :2], expect, atol=1e-5)
+    # jitter strictly reduced on the coordinates
+    rj = sum(np.abs(raw[t][pid][:, :2] - raw[t - 1][pid][:, :2]).sum()
+             for t in range(1, 6))
+    sj = sum(np.abs(smth[t][pid][:, :2] - smth[t - 1][pid][:, :2]).sum()
+             for t in range(1, 6))
+    assert sj < rj
+    # reset() clears the filter state: first frame passes through again
+    m_sm.reset()
+    out = m_sm.inference(frames[0], bboxes=boxes[0])
+    np.testing.assert_array_equal(out[list(out)[0]], raw[0][list(raw[0])[0]])
+
+
+def test_smoothing_batched_matches_sequential(ckpt_npz):
+    """The offline batched path applies the same stateful filter in frame
+    order -> identical smoothed outputs to the sequential path."""
+    frames = [_frame() for _ in range(5)]
+    boxes = [np.array([[40 + 2 * (t % 2), 30, 200, 220, 0.9]], np.float32)
+             for t in range(5)]
+    m_a = VitInference(ckpt_npz, model_name="s", dataset="coco",
+                       is_video=True, smooth=True)
+    m_a.cfg = CASES["tiny"]
+    m_b = VitInference(ckpt_npz, model_name="s", dataset="coco",
+                       is_video=True, smooth=True)
+    m_b.cfg = CASES["tiny"]
+    seq = [m_a.inference(f, bboxes=b) for f, b in zip(frames, boxes)]
+    bat = m_b.inference_batched(frames, bboxes_per_frame=boxes)
+    assert len(bat) == len(seq)
+    for sq, bt in zip(seq, bat):
+        assert set(sq) == set(bt)
+        for pid in sq:
+            np.testing.assert_allclose(bt[pid], sq[pid], atol=2e-3)
