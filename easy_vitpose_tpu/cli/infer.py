@@ -106,6 +106,10 @@ def run_one(args, input_path: str) -> None:
         frames = [cv2.cvtColor(img, cv2.COLOR_BGR2RGB)]
         meta = {"fps": 1}
 
+    if args.smooth and is_video and meta.get("fps"):
+        # One-Euro timestep from the clip's real frame rate
+        model._smooth_kw.setdefault("fps", float(meta["fps"]))
+
     save_media = (args.save_img or args.show) or bool(args.output_path)
     base = os.path.splitext(os.path.basename(str(input_path)))[0]
 
