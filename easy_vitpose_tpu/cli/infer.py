@@ -81,17 +81,6 @@ def run_one(args, input_path: str) -> None:
     ext = os.path.splitext(str(input_path))[1].lower()
     is_video = ext in VIDEO_EXTS or str(input_path).isdigit()
 
-    model = VitInference(args.model, yolo=args.yolo,
-                         model_name=args.model_name,
-                         det_class=args.det_class, dataset=args.dataset,
-                         yolo_size=args.yolo_size, is_video=is_video,
-                         single_pose=args.single_pose,
-                         yolo_step=args.yolo_step, dtype=args.dtype,
-                         smooth=args.smooth,
-                         fixed_slots=args.fixed_slots, device=args.device)
-    print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
-          f"dtype={args.dtype})")
-
     out_writer = None
     keypoints_log = []
     fps_hist = []
@@ -106,9 +95,20 @@ def run_one(args, input_path: str) -> None:
         frames = [cv2.cvtColor(img, cv2.COLOR_BGR2RGB)]
         meta = {"fps": 1}
 
-    if args.smooth and is_video and meta.get("fps"):
-        # One-Euro timestep from the clip's real frame rate
-        model._smooth_kw.setdefault("fps", float(meta["fps"]))
+    # One-Euro timestep from the clip's real frame rate
+    smooth_params = ({"fps": float(meta["fps"])}
+                     if args.smooth and is_video and meta.get("fps")
+                     else None)
+    model = VitInference(args.model, yolo=args.yolo,
+                         model_name=args.model_name,
+                         det_class=args.det_class, dataset=args.dataset,
+                         yolo_size=args.yolo_size, is_video=is_video,
+                         single_pose=args.single_pose,
+                         yolo_step=args.yolo_step, dtype=args.dtype,
+                         smooth=args.smooth, smooth_params=smooth_params,
+                         fixed_slots=args.fixed_slots, device=args.device)
+    print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
+          f"dtype={args.dtype})")
 
     save_media = (args.save_img or args.show) or bool(args.output_path)
     base = os.path.splitext(os.path.basename(str(input_path)))[0]

@@ -96,6 +96,10 @@ def main(argv=None):
     if args.preset == "finetune":
         preset_kw["early_stop_patience"] = overrides.get(
             "early_stop_patience", 15)
+    elif "early_stop_patience" in overrides:
+        # from-scratch default is no-early-stop, but an explicit yaml
+        # override must win for either preset
+        preset_kw["early_stop_patience"] = overrides["early_stop_patience"]
     settings = preset_fn(args.model_name, **preset_kw)
 
     if settings.block_impl == "pallas_train" and len(jax.devices()) > 1:

@@ -81,6 +81,14 @@ def _ln_bwd(dh, xhat, inv, s):
 
 # --------------------------------------------------------------- forward
 
+def _dp_rows(dp_ref, tile_idx, G, N):
+    """Gather the tile's per-crop drop-path scalars into (G*N, 1) f32."""
+    base = tile_idx * G
+    return jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0],
+                                     jnp.float32) for g in range(G)], axis=0)
+
+
+
 def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
                 ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
                 out_ref, x1_ref,
@@ -91,9 +99,7 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
     # per-crop drop-path keep (already scaled by 1/keep_prob): the full
     # (B, 1) scalar vector sits in SMEM (block == array — blocked SMEM
     # specs hit the same (8,128) tiling rule as VMEM); index by grid step
-    base = pl.program_id(0) * G
-    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
-                          for g in range(G)], axis=0)
+    dp = _dp_rows(dp_ref, pl.program_id(0), G, N)
 
     h, _, _ = _ln_fwd(x, ln1_s[0].astype(jnp.float32),
                       ln1_b[0].astype(jnp.float32), eps)
@@ -136,6 +142,37 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
 
 # ---------------------------------------------------------- backward: MLP
 
+def _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b, fc1_w, fc1_b,
+                  fc2_w, tile_idx, G, N, D, eps, *, need_g):
+    """Shared recompute chain for all three MLP-backward kernels: load
+    the tile, LN2 forward, fc1 forward (full- or chunk-width depending on
+    the weight refs passed), then dm2 -> dg -> dm1.  Keeping this in ONE
+    place guards against the three kernels silently diverging (any
+    eps/precision change applies to narrow, dx and dw paths alike).
+
+    Returns (x1, dt, dout_f32, dp, s2, xhat2, inv2, h2, m, g_or_None,
+    dm2, dm2c, dm1, dm1c)."""
+    x1 = x1_ref[:].reshape(G * N, D)
+    dt = x1.dtype
+    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
+    dp = _dp_rows(dp_ref, tile_idx, G, N)
+
+    s2 = ln2_s[0].astype(jnp.float32)
+    h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
+    h2 = h2f.astype(dt)
+    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+         + fc1_b[0].astype(jnp.float32))                 # (R, H or Hc)
+    g = _gelu_exact(m).astype(dt) if need_g else None
+
+    dm2 = dout * dp                                      # (R, D) f32
+    dm2c = dm2.astype(dt)
+    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dm1 = dg * _gelu_grad(m)
+    dm1c = dm1.astype(dt)
+    return x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1, dm1c
+
+
 def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                     fc1_w, fc1_b, fc2_w,
                     dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
@@ -146,30 +183,13 @@ def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     outputs are constant-index blocks, so the += accumulation across
     tiles is over consecutive revisits (well-defined on TPU)."""
     first_tile = pl.program_id(0) == 0
+    (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1,
+     dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                           fc1_w, fc1_b, fc2_w, pl.program_id(0),
+                           G, N, D, eps, need_g=True)
 
-    x1 = x1_ref[:].reshape(G * N, D)
-    dt = x1.dtype
-    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
-    base = pl.program_id(0) * G
-    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
-                          for g in range(G)], axis=0)
-
-    s2 = ln2_s[0].astype(jnp.float32)
-    h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
-    h2 = h2f.astype(dt)
-    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
-         + fc1_b[0].astype(jnp.float32))                 # (R, H)
-    g = _gelu_exact(m).astype(dt)
-
-    dm2 = dout * dp                                      # (R, D) f32
-    dm2c = dm2.astype(dt)
-    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, H)
-    dm1 = dg * _gelu_grad(m)
-    dm1c = dm1.astype(dt)
     dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-
     dx1_ln, ds2, db2ln = _ln_bwd(dh2, xhat2, inv2, s2)
     dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
 
@@ -204,28 +224,13 @@ def _bwd_mlp_dx_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     ViT-H (13 MB each); only the f32 weight-grad accumulators do not —
     those live in the chunked dw kernel below."""
     first_tile = pl.program_id(0) == 0
+    (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, _, dm2, dm2c, dm1,
+     dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                           fc1_w, fc1_b, fc2_w, pl.program_id(0),
+                           G, N, D, eps, need_g=False)
 
-    x1 = x1_ref[:].reshape(G * N, D)
-    dt = x1.dtype
-    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
-    base = pl.program_id(0) * G
-    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
-                          for g in range(G)], axis=0)
-
-    s2 = ln2_s[0].astype(jnp.float32)
-    h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
-    h2 = h2f.astype(dt)
-    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
-         + fc1_b[0].astype(jnp.float32))                 # (R, H)
-
-    dm2 = dout * dp                                      # (R, D) f32
-    dm2c = dm2.astype(dt)
-    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, H)
-    dm1c = (dg * _gelu_grad(m)).astype(dt)
     dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-
     dx1_ln, ds2, db2ln = _ln_bwd(dh2, xhat2, inv2, s2)
     dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
 
@@ -253,27 +258,10 @@ def _bwd_mlp_dw_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     fc1/fc2 weight columns/rows and their f32 grad chunks are resident;
     LN2 + the j-th fc1 column forward are recomputed from x1."""
     i = pl.program_id(1)
-
-    x1 = x1_ref[:].reshape(G * N, D)
-    dt = x1.dtype
-    dout = dout_ref[:].reshape(G * N, D).astype(jnp.float32)
-    base = i * G
-    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
-                          for g in range(G)], axis=0)
-
-    h2f, _, _ = _ln_fwd(x1, ln2_s[0].astype(jnp.float32),
-                        ln2_b[0].astype(jnp.float32), eps)
-    h2 = h2f.astype(dt)
-    # j-th hidden chunk only
-    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
-         + fc1_b[0].astype(jnp.float32))                 # (R, Hc)
-    g = _gelu_exact(m).astype(dt)
-
-    dm2c = (dout * dp).astype(dt)                        # (R, D)
-    dg = jax.lax.dot_general(dm2c, fc2_w[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (R, Hc)
-    dm1 = dg * _gelu_grad(m)
-    dm1c = dm1.astype(dt)
+    (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1,
+     dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                           fc1_w, fc1_b, fc2_w, i, G, N, D, eps,
+                           need_g=True)
 
     dW2 = jax.lax.dot_general(g, dm2c, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -304,9 +292,7 @@ def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
     x = x_ref[:].reshape(G * N, D)
     dt = x.dtype
     dx1 = dx1_ref[:].reshape(G * N, D).astype(jnp.float32)
-    base = pl.program_id(0) * G
-    dp = jnp.concatenate([jnp.full((N, 1), dp_ref[base + g, 0], jnp.float32)
-                          for g in range(G)], axis=0)
+    dp = _dp_rows(dp_ref, pl.program_id(0), G, N)
 
     s1 = ln1_s[0].astype(jnp.float32)
     h1f, xhat1, inv1 = _ln_fwd(x, s1, ln1_b[0].astype(jnp.float32), eps)
@@ -403,8 +389,10 @@ def _vmem() -> int:
 
 def _vmem_mlp() -> int:
     # the G=8 MLP-backward tile needs ~115 MB scoped VMEM; hardware caps
-    # at 128 MB — a LIMIT, not an allocation, so safe for smaller tiles
-    return int(_os.environ.get("EVT_TRAIN_VMEM", 125829120))
+    # at 128 MB — a LIMIT, not an allocation, so safe for smaller tiles.
+    # Own env var: EVT_TRAIN_VMEM tunes the general limit without
+    # dragging this one below the default tile's requirement.
+    return int(_os.environ.get("EVT_TRAIN_VMEM_MLP", 125829120))
 
 
 def _tile(D: int) -> int:

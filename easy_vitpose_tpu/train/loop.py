@@ -105,6 +105,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         f"batch {settings.batch_size} not divisible by {n_dev} devices"
 
     steps_per_epoch = max(len(train_ds) // settings.batch_size, 1)
+    if settings.lr_policy == "step" \
+            and settings.optimizer != "adamw_layer_decay":
+        raise ValueError(
+            "lr_policy='step' (warmup+milestones) is realized inside the "
+            "AdamW layer-decay optimizer; set optimizer='adamw_layer_decay' "
+            "(or use presets.from_scratch) — with optimizer='adam' the "
+            "schedule would silently never run")
     if settings.optimizer == "adamw_layer_decay":
         # from-scratch recipe: AdamW + layer decay + (optionally) the
         # warmup/milestone step policy, all inside the optimizer
@@ -156,6 +163,23 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     history = []
     best_val = float("inf")
     patience = 0
+    loop_ctl_path = os.path.join(settings.work_dir, "loop_state.json")
+    if settings.resume_state_dir and os.path.exists(loop_ctl_path):
+        # host-side loop controllers are NOT in the orbax state: restore
+        # the plateau scheduler (else the first resumed epoch would reset
+        # the LR to base), best-val and early-stop patience
+        import json as _json
+        with open(loop_ctl_path) as f:
+            ctl = _json.load(f)
+        sched.lr = ctl["sched_lr"]
+        sched.best = ctl["sched_best"]
+        sched.bad_epochs = ctl["sched_bad_epochs"]
+        best_val = ctl["best_val"]
+        patience = ctl["patience"]
+        # the optimizer's realized LR itself came back with the orbax
+        # state; only the host-side controllers needed restoring
+        log(f"restored loop controllers (lr {sched.lr:.2e}, "
+            f"best_val {best_val:.5f}, patience {patience})")
 
     # TensorBoard scalars (SURVEY §5 observability; the reference only uses
     # TB for image grids and never wires scalars). Master-only, optional dep.
@@ -251,6 +275,14 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 from .orbax_ckpt import save_train_state
                 save_train_state(os.path.join(settings.work_dir,
                                               "train_state"), state)
+                import json as _json
+                with open(loop_ctl_path, "w") as f:
+                    _json.dump({"sched_lr": sched.lr,
+                                "sched_best": sched.best,
+                                "sched_bad_epochs": sched.bad_epochs,
+                                "best_val": best_val,
+                                "patience": patience,
+                                "epoch": epoch}, f)
         if epoch > settings.ckpt_topk_epoch:
             if val_loss < best_val:
                 best_val = val_loss

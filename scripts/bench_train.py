@@ -61,10 +61,13 @@ def main():
         bcfg = cfg.backbone
         vp = init_vit_params(jax.random.PRNGKey(2), bcfg)
         layer = jax.tree.map(lambda a: a[0], vp["blocks"])
+        # batch 16: divisible by the G=8 MLP-backward tile, so the check
+        # validates the PRODUCTION tile configuration (batch 6 would
+        # silently fall back to G=2)
         xb = jax.random.normal(jax.random.PRNGKey(3),
-                               (6, bcfg.num_tokens, bcfg.embed_dim),
+                               (16, bcfg.num_tokens, bcfg.embed_dim),
                                jnp.float32) * 0.5
-        dp = jnp.ones((6,), jnp.float32)
+        dp = jnp.ones((16,), jnp.float32)
         fused = make_fused_block_train(bcfg)
 
         def loss(fn, xx, pp):

@@ -146,3 +146,44 @@ def test_gives_up_without_progress(tmp_path, coco_dir, monkeypatch):
         train_model_resilient(params, cfg, ds, None, settings,
                               log=lambda s: None, max_restarts=2)
     assert len(calls) == 3  # initial + 2 retries
+
+
+def test_plateau_state_survives_resume(coco_dir, tmp_path):
+    """Resume must restore the ReduceLROnPlateau controller (review
+    finding): previously a resumed run rebuilt the scheduler fresh and
+    the first epoch-end reset the LR to the base value."""
+    import json as js
+
+    from easy_vitpose_tpu.train.loop import train_model
+
+    cfg = CASES["tiny"]
+    # host snapshot: the loop donates state buffers that alias these
+    params = jax.tree.map(np.asarray,
+                          init_vitpose_params(jax.random.PRNGKey(0), cfg))
+    settings = TrainSettings(lr=1e-3, total_epochs=2, batch_size=8,
+                             use_amp=False, save_interval=1,
+                             save_full_state=True, ckpt_topk_epoch=10,
+                             tensorboard=False,
+                             work_dir=str(tmp_path / "run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    train_model(params, cfg, ds, None, settings, log=lambda s: None)
+
+    # simulate a long plateau-decayed run: controller says lr 1.23e-5
+    ctl_path = str(tmp_path / "run" / "loop_state.json")
+    with open(ctl_path) as f:
+        ctl = js.load(f)
+    ctl["sched_lr"] = 1.23e-5
+    with open(ctl_path, "w") as f:
+        js.dump(ctl, f)
+
+    import dataclasses
+    settings2 = dataclasses.replace(
+        settings, total_epochs=3,
+        resume_state_dir=str(tmp_path / "run" / "train_state"))
+    logs = []
+    out = train_model(params, cfg, ds, None, settings2, log=logs.append)
+    assert any("restored loop controllers (lr 1.23e-05" in ln
+               for ln in logs), logs
+    # the resumed epoch's realized LR is the restored plateau value,
+    # not the base lr
+    assert out["history"][0]["lr"] == pytest.approx(1.23e-5, rel=1e-6)
