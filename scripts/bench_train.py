@@ -61,13 +61,14 @@ def main():
         bcfg = cfg.backbone
         vp = init_vit_params(jax.random.PRNGKey(2), bcfg)
         layer = jax.tree.map(lambda a: a[0], vp["blocks"])
-        # batch 16: divisible by the G=8 MLP-backward tile, so the check
-        # validates the PRODUCTION tile configuration (batch 6 would
-        # silently fall back to G=2)
+        # f32 numerics check at batch 6 (the G=8 MLP tile cannot run f32
+        # within 128M VMEM — production is bf16 — so this batch falls
+        # back to G=2; the PRODUCTION G=8 tile is validated separately
+        # below with a bf16 G8-vs-G2 same-kernel comparison)
         xb = jax.random.normal(jax.random.PRNGKey(3),
-                               (16, bcfg.num_tokens, bcfg.embed_dim),
+                               (6, bcfg.num_tokens, bcfg.embed_dim),
                                jnp.float32) * 0.5
-        dp = jnp.ones((16,), jnp.float32)
+        dp = jnp.ones((6,), jnp.float32)
         fused = make_fused_block_train(bcfg)
 
         def loss(fn, xx, pp):
@@ -106,6 +107,44 @@ def main():
                     f"FUSED GRAD MISMATCH {jax.tree_util.keystr(path)}: "
                     f"rel={rel:.2e}")
         print(f"grad-check OK (worst rel err {worst:.2e})", flush=True)
+
+        # --- production-tile pipelining check: SAME kernel, SAME bf16
+        # math, G=8 vs G=2 MLP-backward tile.  Isolates exactly the
+        # output-block revisit/pipelining dimension: corruption is
+        # order-1; accumulation-order noise is ~1e-3 in bf16.
+        xb16 = (jax.random.normal(jax.random.PRNGKey(4),
+                                  (16, bcfg.num_tokens, bcfg.embed_dim))
+                * 0.5).astype(jnp.bfloat16)
+        dp16 = jnp.ones((16,), jnp.float32)
+        lb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), layer)
+
+        def tile_grads(tile):
+            os.environ["EVT_TRAIN_TILE_MLP"] = tile
+            f = make_fused_block_train(bcfg)
+            # fresh lambda per tile -> separate jit cache entries traced
+            # under the env value
+            g = jax.jit(jax.grad(
+                lambda xx, pp: jnp.sum(
+                    (f(xx, pp, dp16).astype(jnp.float32)) ** 2),
+                argnums=(0, 1)))(xb16, lb)
+            os.environ.pop("EVT_TRAIN_TILE_MLP", None)
+            return jax.tree.map(np.asarray, g)
+
+        g8 = tile_grads("8")
+        g2 = tile_grads("2")
+        worst_t = 0.0
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g2),
+                                jax.tree_util.tree_leaves(g8)):
+            s = float(np.abs(a).max()) + 1e-9
+            rel = float(np.abs(a.astype(np.float32)
+                               - b.astype(np.float32)).max()) / s
+            worst_t = max(worst_t, rel)
+            if rel > 2e-2 or not np.isfinite(rel):
+                raise SystemExit(
+                    f"G8-vs-G2 TILE MISMATCH "
+                    f"{jax.tree_util.keystr(path)}: rel={rel:.2e}")
+        print(f"tile-check OK (G8 vs G2 worst rel err {worst_t:.2e})",
+              flush=True)
 
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
     # host snapshot: the fused step donates its state, whose params alias
