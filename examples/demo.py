@@ -33,6 +33,15 @@ def main():
     rendered = model.draw(show_yolo=True, confidence_threshold=-1)
     print("rendered image:", rendered.shape, rendered.dtype)
 
+    # --- video-mode extras: tracking + One-Euro smoothing + batched ---
+    vid = VitInference("/tmp/vitpose-s-coco.npz", model_name="s",
+                       dataset="coco", is_video=True, smooth=True)
+    clip = [img] * 4  # stand-in for consecutive frames
+    outs = vid.inference_batched(clip, bboxes_per_frame=[boxes] * 4)
+    print(f"batched video: {len(outs)} frames, "
+          f"tracks {sorted(outs[-1])} (smoothed)")
+    vid.reset()
+
 
 if __name__ == "__main__":
     main()
