@@ -7,14 +7,17 @@ passes.  This module implements the whole pre-LN block as a
 ``jax.custom_vjp`` with three Pallas kernels:
 
 * **forward** — the serving kernel plus (a) per-crop drop-path masks
-  (stochastic depth; the default B/L/H recipes train with it) and (b) a
+  (stochastic depth; the default B/L/H recipes train with it), (b) a
   second output ``x1 = x + attn_branch`` saved as the residual for the
   backward MLP kernel (one extra R x D write per layer; recomputing x1 in
-  backward would force the attention forward to run twice).
+  backward would force the attention forward to run twice), and (c) in
+  the default saved-qkv flavor (<= ViT-L; EVT_TRAIN_ATTN) the qkv
+  projection, saved for the attention backward.
 * **backward-MLP** — given (x1, dout): recompute LN2/fc1/GELU in VMEM,
   produce dx1 and the fc1/fc2/LN2 weight grads.
-* **backward-ATTN** — given (x, dx1): recompute LN1/qkv/softmax in VMEM,
-  produce dx and the qkv/proj/LN1 weight grads.
+* **backward-ATTN** — given (x, dx1[, qkv]): recompute LN1/softmax (and
+  qkv, unless saved) in VMEM, produce dx and the qkv/proj/LN1 weight
+  grads.
 
 Weight grads accumulate across grid steps into output blocks that are
 revisited only on *consecutive* grid iterations — the one accumulation
@@ -91,8 +94,8 @@ def _dp_rows(dp_ref, tile_idx, G, N):
 
 def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
                 ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
-                out_ref, x1_ref,
-                *, G: int, N: int, D: int, num_heads: int, eps: float):
+                out_ref, x1_ref, *maybe_qkv_ref,
+                G: int, N: int, D: int, num_heads: int, eps: float):
     hd = D // num_heads
     x = x_ref[:].reshape(G * N, D)
     dt = x.dtype
@@ -106,6 +109,10 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
     h = h.astype(dt)
     qkv = (jnp.dot(h, qkv_w[:], preferred_element_type=jnp.float32)
            + qkv_b[0].astype(jnp.float32)).astype(dt)
+    if maybe_qkv_ref:
+        # saved-qkv flavor: the attention backward reads this instead of
+        # re-running the 3-matmul qkv projection (see _attn_backward_padded)
+        maybe_qkv_ref[0][:] = qkv.reshape(G, N, 3 * D)
     scale = hd ** -0.5
     rows_out = []
     for g in range(G):
@@ -245,6 +252,80 @@ def _bwd_mlp_dx_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     dln2b_ref[:] += db2ln[None]
 
 
+def _bwd_mlp_dx_save_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                            fc1_w, fc1_b, fc2_w,
+                            dx1_ref, h2_ref, dm2c_ref, dm1c_ref, g_ref,
+                            dfc1b_ref, dfc2b_ref, dln2s_ref, dln2b_ref,
+                            *, G: int, N: int, D: int, eps: float):
+    """Wide-MLP saved-operand path, kernel 1 of 2 (default since r3):
+    like :func:`_bwd_mlp_dx_kernel` but additionally WRITES the four bf16
+    matmul operands the weight-grad kernel needs — ``h2`` (LN2 out),
+    ``dm2c`` (drop-path-scaled dout), ``dm1c`` (pre-GELU grad) and ``g``
+    (GELU out) — so kernel 2 is two pure matmuls instead of re-running
+    the whole fc1-forward/GELU/dg chain per hidden chunk.  The recompute
+    path duplicated 2 full matmul units + the GELU/LN2 vector work per
+    block (x ``nj`` for the token reads); the saved operands cost one
+    bf16 HBM round-trip of 2(R,D)+2(R,H) instead.  The values written
+    are bitwise the ones this kernel already computed, so gradients are
+    unchanged.  ``db1`` also moves here (full-width f32 ``dm1`` is in
+    registers anyway)."""
+    first_tile = pl.program_id(0) == 0
+    (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1,
+     dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                           fc1_w, fc1_b, fc2_w, pl.program_id(0),
+                           G, N, D, eps, need_g=True)
+    hidden = m.shape[-1]
+
+    dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx1_ln, ds2, db2ln = _ln_bwd(dh2, xhat2, inv2, s2)
+    dx1_ref[:] = (dout + dx1_ln).astype(dt).reshape(G, N, D)
+    h2_ref[:] = h2.reshape(G, N, D)
+    dm2c_ref[:] = dm2c.reshape(G, N, D)
+    dm1c_ref[:] = dm1c.reshape(G, N, hidden)
+    g_ref[:] = g.reshape(G, N, hidden)
+
+    @pl.when(first_tile)
+    def _():
+        dfc1b_ref[:] = jnp.zeros_like(dfc1b_ref)
+        dfc2b_ref[:] = jnp.zeros_like(dfc2b_ref)
+        dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
+
+    dfc1b_ref[:] += jnp.sum(dm1, axis=0)[None]
+    dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
+    dln2s_ref[:] += ds2[None]
+    dln2b_ref[:] += db2ln[None]
+
+
+def _bwd_mlp_dw_saved_kernel(h2_ref, dm2c_ref, dm1c_ref, g_ref,
+                             dfc1w_ref, dfc2w_ref,
+                             *, G: int, N: int, D: int):
+    """Wide-MLP saved-operand path, kernel 2 of 2: pure chunked weight
+    grads from the bf16 operands kernel 1 saved.  Grid (hidden chunks j,
+    batch tiles i) with the tile reduction innermost — each chunk's
+    output blocks are revisited only on consecutive iterations."""
+    i = pl.program_id(1)
+    R = G * N
+    h2 = h2_ref[:].reshape(R, D)
+    dm2c = dm2c_ref[:].reshape(R, D)
+    dm1c = dm1c_ref[:].reshape(R, -1)
+    g = g_ref[:].reshape(R, -1)
+
+    dW1 = jax.lax.dot_general(h2, dm1c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dW2 = jax.lax.dot_general(g, dm2c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dfc1w_ref[:] = jnp.zeros_like(dfc1w_ref)
+        dfc2w_ref[:] = jnp.zeros_like(dfc2w_ref)
+
+    dfc1w_ref[:] += dW1
+    dfc2w_ref[:] += dW2
+
+
 def _bwd_mlp_dw_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                        fc1_w, fc1_b, fc2_w,
                        dfc1w_ref, dfc1b_ref, dfc2w_ref,
@@ -285,7 +366,12 @@ def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
                      qkv_w, qkv_b, proj_w,
                      dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref, dprojb_ref,
                      dln1s_ref, dln1b_ref,
-                     *, G: int, N: int, D: int, num_heads: int, eps: float):
+                     *, G: int, N: int, D: int, num_heads: int, eps: float,
+                     qkv_sav_ref=None):
+    """Attention backward.  When ``qkv_sav_ref`` is bound (saved-qkv
+    flavor, see EVT_TRAIN_ATTN), the forward's qkv projection is read
+    back instead of re-derived — LN1 is still recomputed (needed for the
+    LN backward and the dWqkv contraction operand either way)."""
     first = pl.program_id(0) == 0
     hd = D // num_heads
 
@@ -297,8 +383,11 @@ def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
     s1 = ln1_s[0].astype(jnp.float32)
     h1f, xhat1, inv1 = _ln_fwd(x, s1, ln1_b[0].astype(jnp.float32), eps)
     h1 = h1f.astype(dt)
-    qkv = (jnp.dot(h1, qkv_w[:], preferred_element_type=jnp.float32)
-           + qkv_b[0].astype(jnp.float32)).astype(dt)
+    if qkv_sav_ref is not None:
+        qkv = qkv_sav_ref[:].reshape(G * N, 3 * D)
+    else:
+        qkv = (jnp.dot(h1, qkv_w[:], preferred_element_type=jnp.float32)
+               + qkv_b[0].astype(jnp.float32)).astype(dt)
     scale = hd ** -0.5
 
     da = dx1 * dp                                        # (R, D) f32
@@ -376,6 +465,21 @@ def _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
     dln1b_ref[:] += db1ln[None]
 
 
+def _bwd_attn_saved_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
+                           qkv_w, qkv_b, proj_w, qkv_sav_ref,
+                           dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref,
+                           dprojb_ref, dln1s_ref, dln1b_ref,
+                           *, G: int, N: int, D: int, num_heads: int,
+                           eps: float):
+    """Saved-qkv flavor: same body, qkv read from the forward's output."""
+    _bwd_attn_kernel(x_ref, dx1_ref, dp_ref, ln1_s, ln1_b,
+                     qkv_w, qkv_b, proj_w,
+                     dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref, dprojb_ref,
+                     dln1s_ref, dln1b_ref,
+                     G=G, N=N, D=D, num_heads=num_heads, eps=eps,
+                     qkv_sav_ref=qkv_sav_ref)
+
+
 # ------------------------------------------------------------- plumbing
 
 from jax.experimental import pallas as pl          # noqa: E402
@@ -402,15 +506,40 @@ def _tile(D: int) -> int:
     return 2 if D <= 768 else 4
 
 
+def _wide_saved() -> bool:
+    """Wide-MLP (ViT-L/H) backward flavor: 'saved' (default) writes the
+    bf16 matmul operands from the dx kernel so the chunked weight-grad
+    kernel is pure matmuls; EVT_TRAIN_WIDE=recompute keeps the r3
+    re-derive-per-chunk kernels (A/B lever for bench_train.py)."""
+    return _os.environ.get("EVT_TRAIN_WIDE", "saved") != "recompute"
+
+
+def _attn_saved(D: int) -> bool:
+    """Attention backward flavor: 'saved' writes the forward's qkv
+    projection to HBM (one (R, 3D) bf16 per layer, live until that
+    layer's backward) and skips the 3-matmul re-projection in the
+    backward.  Default on up to ViT-L; ViT-H (632M params, f32 master +
+    Adam moments ~10 GB) defaults to recompute to protect HBM headroom.
+    EVT_TRAIN_ATTN=saved|recompute overrides."""
+    ov = _os.environ.get("EVT_TRAIN_ATTN")
+    if ov:
+        return ov != "recompute"
+    return D <= 1024
+
+
 def _tile_mlp_bwd(D: int) -> int:
     """Batch tile for the MLP-backward kernel only.  The r3 decompose
     sweep (PERF.md): larger tiles amortize the LN2/GELU vector work and
     lengthen the dW contraction dim — G=8 cuts bwd-MLP ~10% while the
-    forward/attention kernels prefer G=2; per-kernel tiles take both."""
+    forward/attention kernels prefer G=2; per-kernel tiles take both.
+    The saved-operand wide path adds 2(R,D)+2(R,H) bf16 output blocks to
+    the dx kernel, so ViT-H drops to G=2 to stay inside scoped VMEM."""
     ov = _os.environ.get("EVT_TRAIN_TILE_MLP")
     if ov:
         return int(ov)
-    return 8 if D <= 768 else 4
+    if D <= 768:
+        return 8
+    return 2 if (D > 1024 and _wide_saved()) else 4
 
 
 def _row(v):
@@ -449,17 +578,27 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
                             memory_space=pltpu.VMEM)
     dp_spec = pl.BlockSpec((Bp, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    out, x1 = pl.pallas_call(
+    out_specs = [tok_spec, tok_spec]
+    out_shapes = [jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                  jax.ShapeDtypeStruct((Bp, N, D), x.dtype)]
+    if _attn_saved(D):
+        out_specs.append(pl.BlockSpec((G, N, 3 * D), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((Bp, N, 3 * D), x.dtype))
+    outs = pl.pallas_call(
         kern,
         grid=(Bp // G,),
         in_specs=[tok_spec, dp_spec] + _const_specs(ws),
-        out_specs=(tok_spec, tok_spec),
-        out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
-                   jax.ShapeDtypeStruct((Bp, N, D), x.dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
         interpret=interpret,
     )(x, dp, *ws)
-    return out[:B], x1[:B]
+    if _attn_saved(D):
+        out, x1, qkv = outs
+        return out[:B], x1[:B], qkv
+    out, x1 = outs
+    return out[:B], x1[:B], None
 
 
 def _tok_dp_specs(G, N, D, Bp):
@@ -519,9 +658,61 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
                 vmem_limit_bytes=_vmem_mlp()),
             interpret=interpret,
         )(x1, dout, dp, *ws_mlp)
+    elif _wide_saved():
+        # wide MLP (ViT-L/H), saved-operand flavor: the dx kernel writes
+        # the bf16 operands (h2, dm2c, dm1c, g) + all bias/LN grads; the
+        # chunked dw kernel is then two pure matmuls per (chunk, tile).
+        # Cuts the 2-matmul-units + GELU/LN2 recompute duplication the
+        # recompute flavor pays per block, for one transient bf16 HBM
+        # round-trip (freed after the dw kernel — unlike forward
+        # activation saving this adds no per-layer live memory).
+        hid_spec = pl.BlockSpec((G, N, hidden), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        acc1, accs1 = acc_specs([(1, hidden), (1, D), (1, D), (1, D)])
+        kern = functools.partial(_bwd_mlp_dx_save_kernel, G=G, N=N, D=D,
+                                 eps=cfg.layer_norm_eps)
+        (dx1, h2c, dm2c, dm1c, gc, db1, db2, ds2, dbeta2) = pl.pallas_call(
+            kern,
+            grid=(Bp // G,),
+            in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
+            out_specs=(tok_spec, tok_spec, tok_spec, hid_spec, hid_spec,
+                       *acc1),
+            out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                       jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                       jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
+                       jax.ShapeDtypeStruct((Bp, N, hidden), x.dtype),
+                       jax.ShapeDtypeStruct((Bp, N, hidden), x.dtype),
+                       *accs1),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_mlp()),
+            interpret=interpret,
+        )(x1, dout, dp, *ws_mlp)
+
+        tok2 = pl.BlockSpec((G, N, D), lambda j, i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        hid2 = pl.BlockSpec((G, N, Hc), lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+        kern = functools.partial(_bwd_mlp_dw_saved_kernel, G=G, N=N, D=D)
+        dW1, dW2 = pl.pallas_call(
+            kern,
+            grid=(nj, Bp // G),
+            in_specs=[tok2, tok2, hid2, hid2],
+            out_specs=(
+                pl.BlockSpec((D, Hc), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hc, D), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+                       jax.ShapeDtypeStruct((hidden, D), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
+            interpret=interpret,
+        )(h2c, dm2c, dm1c, gc)
     else:
-        # wide MLP (ViT-L/H): two kernels so every accumulating output
-        # block is revisited only consecutively (see kernel docstrings)
+        # wide MLP (ViT-L/H), recompute flavor: two kernels so every
+        # accumulating output block is revisited only consecutively (see
+        # kernel docstrings); the dw kernel re-derives the fc1/GELU chain
+        # per hidden chunk.
         acc1, accs1 = acc_specs([(1, D), (1, D), (1, D)])
         kern = functools.partial(_bwd_mlp_dx_kernel, G=G, N=N, D=D,
                                  eps=cfg.layer_norm_eps)
@@ -581,30 +772,43 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
 
 
 def _attn_backward_padded(x, dx1, dp, p, cfg: BackboneConfig, G: int,
-                          interpret):
-    """Padded inputs -> (dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1)."""
+                          interpret, qkv=None):
+    """Padded inputs -> (dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1).
+
+    ``qkv`` (padded (Bp, N, 3D), from the forward's saved output) selects
+    the saved-qkv kernel; None re-projects qkv in-kernel."""
     Bp, N, D = x.shape
     tok_spec, dp_spec = _tok_dp_specs(G, N, D, Bp)
     ws_attn = [_row(p["ln1_s"]), _row(p["ln1_b"]), p["qkv_w"],
                _row(p["qkv_b"]), p["proj_w"]]
     attn_acc_specs, attn_acc_shapes = _acc_specs(
         [(D, 3 * D), (1, 3 * D), (D, D), (1, D), (1, D), (1, D)])
-    kern = functools.partial(_bwd_attn_kernel, G=G, N=N, D=D,
-                             num_heads=cfg.num_heads,
-                             eps=cfg.layer_norm_eps)
+    in_specs = [tok_spec, tok_spec, dp_spec] + _const_specs(ws_attn)
+    inputs = [x, dx1, dp] + ws_attn
+    if qkv is not None:
+        kern = functools.partial(_bwd_attn_saved_kernel, G=G, N=N, D=D,
+                                 num_heads=cfg.num_heads,
+                                 eps=cfg.layer_norm_eps)
+        in_specs.append(pl.BlockSpec((G, N, 3 * D), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(qkv)
+    else:
+        kern = functools.partial(_bwd_attn_kernel, G=G, N=N, D=D,
+                                 num_heads=cfg.num_heads,
+                                 eps=cfg.layer_norm_eps)
     return pl.pallas_call(
         kern,
         grid=(Bp // G,),
-        in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_attn),
+        in_specs=in_specs,
         out_specs=(tok_spec, *attn_acc_specs),
         out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
                    *attn_acc_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
         interpret=interpret,
-    )(x, dx1, dp, *ws_attn)
+    )(*inputs)
 
 
-def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
+def _fused_train_bwd_impl(x, x1, qkv, dout, dp, p, cfg: BackboneConfig,
                           interpret):
     B0, N, D = x.shape
     G = min(_tile(D), B0)
@@ -621,7 +825,7 @@ def _fused_train_bwd_impl(x, x1, dout, dp, p, cfg: BackboneConfig,
     dx1, dW1, db1, dW2, db2, ds2, dbeta2 = _mlp_backward_padded(
         x1, dout, dp, p, cfg, Gm, interpret)
     dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = _attn_backward_padded(
-        x, dx1, dp, p, cfg, G, interpret)
+        x, dx1, dp, p, cfg, G, interpret, qkv=qkv)
 
     def like(g, ref):
         return g.reshape(ref.shape).astype(ref.dtype)
@@ -653,17 +857,17 @@ def make_fused_block_train(cfg: BackboneConfig, interpret: bool = False):
 
     @jax.custom_vjp
     def block(x, p, dp_keep):
-        out, _ = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
+        out, _, _ = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
         return out
 
     def fwd(x, p, dp_keep):
-        out, x1 = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
-        return out, (x, x1, p, dp_keep)
+        out, x1, qkv = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
+        return out, (x, x1, qkv, p, dp_keep)
 
     def bwd(res, dout):
-        x, x1, p, dp_keep = res
-        dx, dp_grads = _fused_train_bwd_impl(x, x1, dout, dp_keep, p, cfg,
-                                             interpret)
+        x, x1, qkv, p, dp_keep = res
+        dx, dp_grads = _fused_train_bwd_impl(x, x1, qkv, dout, dp_keep, p,
+                                             cfg, interpret)
         return dx, dp_grads, jnp.zeros_like(dp_keep)
 
     block.defvjp(fwd, bwd)
