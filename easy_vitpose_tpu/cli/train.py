@@ -61,6 +61,10 @@ def main(argv=None):
     p.add_argument("--fused-block", action="store_true",
                    help="custom-VJP fused Pallas transformer block "
                         "(fast TPU training path; models/fused_block_train.py)")
+    p.add_argument("--fused-opt", action="store_true",
+                   help="single-HBM-pass clip+Adam (train/fused_opt.py); "
+                        "same math as the default Adam, less optimizer "
+                        "time per step (finetune preset only)")
     p.add_argument("--workers", type=int, default=0,
                    help="spawn-pool dataset workers (the reference's "
                         "workers_per_gpu; 0 = background thread)")
@@ -101,6 +105,15 @@ def main(argv=None):
         # override must win for either preset
         preset_kw["early_stop_patience"] = overrides["early_stop_patience"]
     settings = preset_fn(args.model_name, **preset_kw)
+    if args.fused_opt or overrides.get("fused_opt"):
+        if settings.optimizer != "adam":
+            raise SystemExit("--fused-opt implements the Adam recipe; the "
+                             "from-scratch AdamW layer-decay preset keeps "
+                             "the optax optimizer")
+        if settings.freeze_backbone:
+            raise SystemExit("--fused-opt does not support "
+                             "--freeze-backbone (masked optimizer)")
+        settings.optimizer = "fused_adam"
 
     if settings.block_impl == "pallas_train" and len(jax.devices()) > 1:
         # multi-device fused training runs through the shard_map wrapper

@@ -129,6 +129,14 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             lr, weight_decay=settings.weight_decay,
             layer_decay_rate=settings.layer_decay_rate,
             depth=cfg.backbone.depth)
+    elif settings.optimizer == "fused_adam":
+        # single-HBM-pass clip+Adam (train/fused_opt.py) — same math as
+        # 'adam', ~40% less optimizer time per step on TPU
+        if settings.freeze_backbone:
+            raise ValueError("freeze_backbone needs the optax masked "
+                             "optimizer; use optimizer='adam'")
+        from .fused_opt import make_fused_adam
+        tx = make_fused_adam(settings.lr)
     else:
         tx = steplib.make_optimizer(settings.lr,
                                     freeze_backbone=settings.freeze_backbone)

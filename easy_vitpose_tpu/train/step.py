@@ -229,9 +229,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 
         (loss, new_bn), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state["params"])
-        updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        gnorm = optax.global_norm(grads)
+        new_params, new_opt, gnorm = apply_optimizer(
+            tx, grads, state["opt_state"], state["params"])
         new_state = {
             "params": new_params,
             "opt_state": new_opt,
@@ -241,6 +240,19 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     return step
+
+
+def apply_optimizer(tx, grads, opt_state, params):
+    """(grads, opt_state, params) -> (new_params, new_opt_state, gnorm).
+
+    Dispatches between a fused single-pass optimizer (train/fused_opt.py,
+    anything exposing ``fused_apply``) and the generic optax
+    update/apply_updates dataflow."""
+    if hasattr(tx, "fused_apply"):
+        return tx.fused_apply(grads, opt_state, params)
+    updates, new_opt = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, new_opt, optax.global_norm(grads)
 
 
 def make_eval_step(cfg: ModelConfig, *, use_amp: bool = True,
@@ -324,10 +336,8 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
             compute_loss, has_aux=True)(state["params"])
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
-        updates, new_opt = tx.update(grads, state["opt_state"],
-                                     state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        gnorm = optax.global_norm(grads)
+        new_params, new_opt, gnorm = apply_optimizer(
+            tx, grads, state["opt_state"], state["params"])
         new_state = {
             "params": new_params,
             "opt_state": new_opt,

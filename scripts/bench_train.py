@@ -34,6 +34,21 @@ def main():
                          "drifting tunnel)")
     ap.add_argument("--ab-remat", action="store_true",
                     help="remat the XLA baseline only (L/H fit)")
+    ap.add_argument("--ab-wide", action="store_true",
+                    help="interleave the saved-operand wide-MLP backward "
+                         "(default) against the recompute flavor "
+                         "(EVT_TRAIN_WIDE=recompute) in one process")
+    ap.add_argument("--ab-attn", action="store_true",
+                    help="interleave the saved-qkv attention backward "
+                         "(default <= ViT-L) against the recompute "
+                         "flavor (EVT_TRAIN_ATTN=recompute)")
+    ap.add_argument("--fused-opt", action="store_true",
+                    help="single-pass fused clip+Adam "
+                         "(train/fused_opt.py; EVT_FUSED_OPT=pallas for "
+                         "the per-leaf kernel flavor)")
+    ap.add_argument("--ab-opt", action="store_true",
+                    help="interleave fused-opt (A) against the optax "
+                         "chain (B) in one process")
     ap.add_argument("--grad-check", action="store_true",
                     help="before timing, check fused-block grads vs the "
                          "XLA block ON THIS BACKEND (catches TPU-only "
@@ -146,12 +161,49 @@ def main():
         print(f"tile-check OK (G8 vs G2 worst rel err {worst_t:.2e})",
               flush=True)
 
+        if bcfg.embed_dim > 768:
+            # wide path: saved-operand vs recompute flavor, same bf16
+            # math — the operands the saved dw kernel consumes are the
+            # values the recompute kernel re-derives, so only matmul
+            # accumulation order separates them (~1e-3 bf16); pipelining
+            # corruption is order-1.
+            def wide_grads(mode):
+                os.environ["EVT_TRAIN_WIDE"] = mode
+                f = make_fused_block_train(bcfg)
+                g = jax.jit(jax.grad(
+                    lambda xx, pp: jnp.sum(
+                        (f(xx, pp, dp16).astype(jnp.float32)) ** 2),
+                    argnums=(0, 1)))(xb16, lb)
+                os.environ.pop("EVT_TRAIN_WIDE", None)
+                return jax.tree.map(np.asarray, g)
+
+            gs = wide_grads("saved")
+            gr = wide_grads("recompute")
+            worst_w = 0.0
+            for (path, a), b in zip(
+                    jax.tree_util.tree_leaves_with_path(gr),
+                    jax.tree_util.tree_leaves(gs)):
+                s = float(np.abs(a).max()) + 1e-9
+                rel = float(np.abs(a.astype(np.float32)
+                                   - b.astype(np.float32)).max()) / s
+                worst_w = max(worst_w, rel)
+                if rel > 2e-2 or not np.isfinite(rel):
+                    raise SystemExit(
+                        f"SAVED-vs-RECOMPUTE WIDE MISMATCH "
+                        f"{jax.tree_util.keystr(path)}: rel={rel:.2e}")
+            print(f"wide-check OK (saved vs recompute worst rel err "
+                  f"{worst_w:.2e})", flush=True)
+
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
     # host snapshot: the fused step donates its state, whose params alias
     # these buffers (init_train_state does not copy) — the --ab baseline
     # must be able to re-init from them AFTER the first donating step
     params = jax.tree.map(np.asarray, params)
-    tx = make_optimizer(5e-4)
+    if args.fused_opt or args.ab_opt:
+        from easy_vitpose_tpu.train.fused_opt import make_fused_adam
+        tx = make_fused_adam(5e-4)
+    else:
+        tx = make_optimizer(5e-4)
     state = init_train_state(params, tx)
     step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
                                    remat=args.remat,
@@ -187,6 +239,43 @@ def main():
         sb, mb = step_b(state_b, batch, key)
         jax.block_until_ready(sb)
         print("xla baseline compiled", flush=True)
+    elif args.ab_wide:
+        # same fused step, recompute-flavor wide-MLP backward: env read
+        # at trace time, so set it around this step's first (tracing)
+        # call only — the main step above already traced under 'saved'
+        os.environ["EVT_TRAIN_WIDE"] = "recompute"
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        os.environ.pop("EVT_TRAIN_WIDE", None)
+        print("recompute-flavor baseline compiled", flush=True)
+    elif args.ab_attn:
+        os.environ["EVT_TRAIN_ATTN"] = "recompute"
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        os.environ.pop("EVT_TRAIN_ATTN", None)
+        print("recompute-attn baseline compiled", flush=True)
+    elif args.ab_opt:
+        # fused-opt step (A, already built above) vs the optax chain (B)
+        tx_b = make_optimizer(5e-4)
+        step_b = jax.jit(make_train_step(cfg, tx_b, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"
+                                         if args.fused else "xla"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx_b)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        print("optax-chain baseline compiled", flush=True)
 
     times, times_b = [], []
     for rep in range(args.reps):
@@ -204,7 +293,9 @@ def main():
             float(mb["loss"])
             dtb = (time.perf_counter() - t0) / args.steps
             times_b.append(dtb * 1e3)
-            line += f"  | xla {dtb * 1e3:7.2f} ms"
+            blabel = ("recompute" if args.ab_wide or args.ab_attn
+                      else "optax" if args.ab_opt else "xla")
+            line += f"  | {blabel} {dtb * 1e3:7.2f} ms"
         print(line, flush=True)
 
     med = float(np.median(times))
@@ -216,8 +307,10 @@ def main():
     }
     if times_b:
         medb = float(np.median(times_b))
-        result["xla_ms_per_step"] = round(medb, 2)
-        result["speedup_vs_xla"] = round(medb / med, 3)
+        bkey = ("recompute" if args.ab_wide or args.ab_attn
+                else "optax" if args.ab_opt else "xla")
+        result[f"{bkey}_ms_per_step"] = round(medb, 2)
+        result[f"speedup_vs_{bkey}"] = round(medb / med, 3)
     print(json.dumps(result))
 
 

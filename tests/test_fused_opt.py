@@ -1,0 +1,237 @@
+"""Fused clip+Adam (train/fused_opt.py) vs the optax chain it replaces:
+trajectories must match to float noise, in both the XLA and the
+Pallas-kernel flavors, including the clip-active regime and LR schedules.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from easy_vitpose_tpu.train.fused_opt import make_fused_adam
+from easy_vitpose_tpu.train.step import (apply_optimizer, get_learning_rate,
+                                         make_optimizer,
+                                         make_step_lr_schedule,
+                                         set_learning_rate)
+
+
+def _params(key, big=False):
+    k1, k2, k3 = jax.random.split(key, 3)
+    # 'big' leaf qualifies for the Pallas kernel (>=1M elems, aligned)
+    w_shape = (8, 1024, 128) if big else (8, 16, 128)
+    return {
+        "w": jax.random.normal(k1, w_shape, jnp.float32),
+        "b": jax.random.normal(k2, (37,), jnp.float32),
+        "nested": {"v": jax.random.normal(k3, (5, 3), jnp.float32)},
+    }
+
+
+def _grads(params, step):
+    return jax.tree.map(
+        lambda p: jnp.cos(p * (step + 1)) * 0.1 * (step + 1), params)
+
+
+@pytest.mark.parametrize("gscale", [1.0, 50.0])  # clip inactive / active
+def test_matches_optax_chain(gscale):
+    params_a = _params(jax.random.PRNGKey(0))
+    params_b = jax.tree.map(jnp.copy, params_a)
+    tx_a = make_optimizer(3e-3)            # clip(1.0) + adam
+    tx_b = make_fused_adam(3e-3)
+    sa = tx_a.init(params_a)
+    sb = tx_b.init(params_b)
+    for step in range(4):
+        g = jax.tree.map(lambda x: x * gscale, _grads(params_a, step))
+        params_a, sa, gn_a = apply_optimizer(tx_a, g, sa, params_a)
+        params_b, sb, gn_b = apply_optimizer(tx_b, g, sb, params_b)
+        np.testing.assert_allclose(float(gn_a), float(gn_b), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+
+
+def test_pallas_flavor_matches_xla(monkeypatch):
+    params = _params(jax.random.PRNGKey(1), big=True)
+    tx = make_fused_adam(1e-3)
+    g = _grads(params, 0)
+
+    sa = tx.init(params)
+    pa, sa, _ = apply_optimizer(tx, g, sa, params)
+
+    monkeypatch.setenv("EVT_FUSED_OPT", "pallas")
+    monkeypatch.setenv("EVT_FUSED_OPT_INTERPRET", "1")
+    sb = tx.init(params)
+    pb, sb, _ = apply_optimizer(tx, g, sb, params)
+
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path((pa, sa.mu, sa.nu)),
+            jax.tree_util.tree_leaves((pb, sb.mu, sb.nu))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"pallas/xla mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_schedule_and_lr_plumbing():
+    # schedule flavor matches the optax inject_hyperparams(adam) trace
+    sched = make_step_lr_schedule(base_lr=1e-2, steps_per_epoch=2,
+                                  milestones=(1, 2), warmup_iters=3,
+                                  warmup_ratio=0.1)
+    params_a = _params(jax.random.PRNGKey(2))
+    params_b = jax.tree.map(jnp.copy, params_a)
+    tx_a = optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.inject_hyperparams(optax.adam)(
+                           learning_rate=sched))
+    tx_b = make_fused_adam(sched)
+    sa = tx_a.init(params_a)
+    sb = tx_b.init(params_b)
+    for step in range(6):
+        g = _grads(params_a, step)
+        u, sa = tx_a.update(g, sa, params_a)
+        params_a = optax.apply_updates(params_a, u)
+        params_b, sb, _ = apply_optimizer(tx_b, g, sb, params_b)
+        # realized LR visible to the loop's logger
+        np.testing.assert_allclose(get_learning_rate(sa),
+                                   get_learning_rate(sb), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+
+
+def test_plateau_controller_compat():
+    # the loop's ReduceLROnPlateau override must keep working
+    params = _params(jax.random.PRNGKey(3))
+    tx = make_fused_adam(1e-3)
+    s = tx.init(params)
+    assert abs(get_learning_rate(s) - 1e-3) < 1e-9
+    s = set_learning_rate(s, 5e-4)
+    params, s, _ = apply_optimizer(tx, _grads(params, 0), s, params)
+    assert abs(get_learning_rate(s) - 5e-4) < 1e-9
+
+
+def test_orbax_exact_resume_roundtrip(tmp_path):
+    """FusedAdamState (namedtuple + hyperparams dict) survives the orbax
+    full-train-state save/restore used by elastic resume."""
+    from easy_vitpose_tpu.train.orbax_ckpt import (restore_train_state,
+                                                   save_train_state)
+
+    params = _params(jax.random.PRNGKey(4))
+    tx = make_fused_adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "bn_state": {}, "step": jnp.asarray(3, jnp.int32)}
+    p1, s1, _ = apply_optimizer(tx, _grads(params, 0), state["opt_state"],
+                                params)
+    state = {"params": p1, "opt_state": s1, "bn_state": {},
+             "step": jnp.asarray(4, jnp.int32)}
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+    template = {"params": params, "opt_state": tx.init(params),
+                "bn_state": {}, "step": jnp.asarray(0, jnp.int32)}
+    restored = restore_train_state(path, template=template)
+    assert int(restored["step"]) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state keeps working
+    p2, s2, _ = apply_optimizer(tx, _grads(p1, 1), restored["opt_state"],
+                                restored["params"])
+    assert int(s2.count) == 2
+
+
+def test_sharded_train_step_with_fused_opt():
+    """FusedAdam composes with the shard_map data-parallel step (the
+    loop's default for --fused-block on multi-device): 8-device loss and
+    params match the single-device step."""
+    from easy_vitpose_tpu.configs import (BackboneConfig, HeadConfig,
+                                          ModelConfig)
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.parallel import mesh as meshlib
+    from easy_vitpose_tpu.train.step import (init_train_state,
+                                             make_train_step,
+                                             make_train_step_sharded)
+
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(
+        name="tiny", dataset="coco",
+        backbone=BackboneConfig(embed_dim=96, depth=2, num_heads=4),
+        head=HeadConfig(in_channels=96, num_keypoints=17,
+                        deconv_filters=(32, 32)))
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    tx = make_fused_adam(1e-3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (8, 256, 192, 3))
+                              .astype(np.float32)),
+        "targets": jnp.asarray(rng.uniform(0, 1, (8, 17, 64, 48))
+                               .astype(np.float32)),
+        "target_weights": jnp.ones((8, 17, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    mesh = meshlib.make_mesh()
+    state = init_train_state(params, tx)
+    state = meshlib.replicate(mesh, state)
+    sharded = make_train_step_sharded(
+        cfg, tx, mesh, use_amp=False, block_impl="pallas_train_interpret",
+        donate_state=False)
+    s_a, m_a = sharded(state, batch, key)
+
+    state_b = init_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, tx, use_amp=False,
+                                   block_impl="pallas_train_interpret"))
+    s_b, m_b = step(state_b, batch, key)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    # pmean-of-shard-means vs full-batch mean reduction order drifts a
+    # few ulps in the grads; Adam's rsqrt at t=1 amplifies that — updates
+    # are ~lr=1e-3, so 1e-5 is still 100x below corruption scale
+    for a, b in zip(jax.tree_util.tree_leaves(s_a["params"]),
+                    jax.tree_util.tree_leaves(s_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_full_train_step_with_fused_opt():
+    """The train step composes with FusedAdam end-to-end (tiny model)."""
+    from easy_vitpose_tpu.configs import (BackboneConfig, HeadConfig,
+                                          ModelConfig)
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.train.step import init_train_state, make_train_step
+
+    cfg = ModelConfig(
+        name="tiny", dataset="coco",
+        backbone=BackboneConfig(embed_dim=96, depth=2, num_heads=4),
+        head=HeadConfig(in_channels=96, num_keypoints=17,
+                        deconv_filters=(32, 32)))
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+
+    tx_a = make_optimizer(1e-3)
+    tx_b = make_fused_adam(1e-3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (2, 256, 192, 3))
+                              .astype(np.float32)),
+        "targets": jnp.asarray(rng.uniform(0, 1, (2, 17, 64, 48))
+                               .astype(np.float32)),
+        "target_weights": jnp.ones((2, 17, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    outs = []
+    for tx in (tx_a, tx_b):
+        state = init_train_state(params, tx)
+        step = jax.jit(make_train_step(cfg, tx, use_amp=False))
+        for i in range(2):
+            state, m = step(state, batch, key)
+        outs.append((state["params"], float(m["loss"]),
+                     float(m["grad_norm"])))
+    (pa, la, ga), (pb, lb, gb) = outs
+    assert abs(la - lb) < 1e-6 and abs(ga - gb) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        # clip-scale rounding differs (min(1, max/g) vs optax's where/
+        # divide) -> few-ulp drift after two steps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-6)
