@@ -94,8 +94,9 @@ def _dp_rows(dp_ref, tile_idx, G, N):
 
 def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
                 ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
-                out_ref, x1_ref, *maybe_qkv_ref,
-                G: int, N: int, D: int, num_heads: int, eps: float):
+                out_ref, x1_ref, *extra_refs,
+                G: int, N: int, D: int, num_heads: int, eps: float,
+                save_qkv: bool = False, save_m: bool = False):
     hd = D // num_heads
     x = x_ref[:].reshape(G * N, D)
     dt = x.dtype
@@ -109,10 +110,11 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
     h = h.astype(dt)
     qkv = (jnp.dot(h, qkv_w[:], preferred_element_type=jnp.float32)
            + qkv_b[0].astype(jnp.float32)).astype(dt)
-    if maybe_qkv_ref:
+    extras = list(extra_refs)
+    if save_qkv:
         # saved-qkv flavor: the attention backward reads this instead of
         # re-running the 3-matmul qkv projection (see _attn_backward_padded)
-        maybe_qkv_ref[0][:] = qkv.reshape(G, N, 3 * D)
+        extras.pop(0)[:] = qkv.reshape(G, N, 3 * D)
     scale = hd ** -0.5
     rows_out = []
     for g in range(G):
@@ -141,6 +143,10 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
     h2 = h2.astype(dt)
     m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
          + fc1_b[0].astype(jnp.float32))
+    if save_m:
+        # saved-m flavor: the MLP backward reads this instead of
+        # re-running the fc1 forward (see _mlp_backward_padded)
+        extras.pop(0)[:] = m.astype(dt).reshape(G, N, m.shape[-1])
     g = _gelu_exact(m).astype(dt)
     m2 = (jnp.dot(g, fc2_w[:], preferred_element_type=jnp.float32)
           + fc2_b[0].astype(jnp.float32))
@@ -150,12 +156,15 @@ def _fwd_kernel(x_ref, dp_ref, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
 # ---------------------------------------------------------- backward: MLP
 
 def _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b, fc1_w, fc1_b,
-                  fc2_w, tile_idx, G, N, D, eps, *, need_g):
+                  fc2_w, tile_idx, G, N, D, eps, *, need_g, m_ref=None):
     """Shared recompute chain for all three MLP-backward kernels: load
     the tile, LN2 forward, fc1 forward (full- or chunk-width depending on
     the weight refs passed), then dm2 -> dg -> dm1.  Keeping this in ONE
     place guards against the three kernels silently diverging (any
     eps/precision change applies to narrow, dx and dw paths alike).
+
+    ``m_ref`` (saved-m flavor, EVT_TRAIN_MLP) replaces the fc1-forward
+    matmul with the forward kernel's saved pre-GELU activations.
 
     Returns (x1, dt, dout_f32, dp, s2, xhat2, inv2, h2, m, g_or_None,
     dm2, dm2c, dm1, dm1c)."""
@@ -167,8 +176,11 @@ def _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b, fc1_w, fc1_b,
     s2 = ln2_s[0].astype(jnp.float32)
     h2f, xhat2, inv2 = _ln_fwd(x1, s2, ln2_b[0].astype(jnp.float32), eps)
     h2 = h2f.astype(dt)
-    m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
-         + fc1_b[0].astype(jnp.float32))                 # (R, H or Hc)
+    if m_ref is not None:
+        m = m_ref[:].reshape(G * N, -1).astype(jnp.float32)  # (R, H)
+    else:
+        m = (jnp.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+             + fc1_b[0].astype(jnp.float32))             # (R, H or Hc)
     g = _gelu_exact(m).astype(dt) if need_g else None
 
     dm2 = dout * dp                                      # (R, D) f32
@@ -184,7 +196,7 @@ def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                     fc1_w, fc1_b, fc2_w,
                     dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
                     dln2s_ref, dln2b_ref,
-                    *, G: int, N: int, D: int, eps: float):
+                    *, G: int, N: int, D: int, eps: float, m_ref=None):
     """Full-width fused MLP backward, grid (batch tiles,).  Used when the
     f32 fc1/fc2 grad accumulators fit VMEM (D <= 768).  All weight-grad
     outputs are constant-index blocks, so the += accumulation across
@@ -193,7 +205,7 @@ def _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1,
      dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                            fc1_w, fc1_b, fc2_w, pl.program_id(0),
-                           G, N, D, eps, need_g=True)
+                           G, N, D, eps, need_g=True, m_ref=m_ref)
 
     dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -252,11 +264,25 @@ def _bwd_mlp_dx_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     dln2b_ref[:] += db2ln[None]
 
 
+def _bwd_mlp_kernel_ms(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                       fc1_w, fc1_b, fc2_w, m_sav_ref,
+                       dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
+                       dln2s_ref, dln2b_ref,
+                       *, G: int, N: int, D: int, eps: float):
+    """Saved-m flavor of the narrow MLP backward (EVT_TRAIN_MLP)."""
+    _bwd_mlp_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                    fc1_w, fc1_b, fc2_w,
+                    dx1_ref, dfc1w_ref, dfc1b_ref, dfc2w_ref, dfc2b_ref,
+                    dln2s_ref, dln2b_ref,
+                    G=G, N=N, D=D, eps=eps, m_ref=m_sav_ref)
+
+
 def _bwd_mlp_dx_save_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                             fc1_w, fc1_b, fc2_w,
                             dx1_ref, h2_ref, dm2c_ref, dm1c_ref, g_ref,
                             dfc1b_ref, dfc2b_ref, dln2s_ref, dln2b_ref,
-                            *, G: int, N: int, D: int, eps: float):
+                            *, G: int, N: int, D: int, eps: float,
+                            m_ref=None):
     """Wide-MLP saved-operand path, kernel 1 of 2 (default since r3):
     like :func:`_bwd_mlp_dx_kernel` but additionally WRITES the four bf16
     matmul operands the weight-grad kernel needs — ``h2`` (LN2 out),
@@ -273,7 +299,7 @@ def _bwd_mlp_dx_save_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     (x1, dt, dout, dp, s2, xhat2, inv2, h2, m, g, dm2, dm2c, dm1,
      dm1c) = _mlp_bwd_core(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
                            fc1_w, fc1_b, fc2_w, pl.program_id(0),
-                           G, N, D, eps, need_g=True)
+                           G, N, D, eps, need_g=True, m_ref=m_ref)
     hidden = m.shape[-1]
 
     dh2 = jax.lax.dot_general(dm1c, fc1_w[:], (((1,), (1,)), ((), ())),
@@ -296,6 +322,19 @@ def _bwd_mlp_dx_save_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
     dfc2b_ref[:] += jnp.sum(dm2, axis=0)[None]
     dln2s_ref[:] += ds2[None]
     dln2b_ref[:] += db2ln[None]
+
+
+def _bwd_mlp_dx_save_kernel_ms(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                               fc1_w, fc1_b, fc2_w, m_sav_ref,
+                               dx1_ref, h2_ref, dm2c_ref, dm1c_ref, g_ref,
+                               dfc1b_ref, dfc2b_ref, dln2s_ref, dln2b_ref,
+                               *, G: int, N: int, D: int, eps: float):
+    """Saved-m flavor of the wide dx kernel (EVT_TRAIN_MLP)."""
+    _bwd_mlp_dx_save_kernel(x1_ref, dout_ref, dp_ref, ln2_s, ln2_b,
+                            fc1_w, fc1_b, fc2_w,
+                            dx1_ref, h2_ref, dm2c_ref, dm1c_ref, g_ref,
+                            dfc1b_ref, dfc2b_ref, dln2s_ref, dln2b_ref,
+                            G=G, N=N, D=D, eps=eps, m_ref=m_sav_ref)
 
 
 def _bwd_mlp_dw_saved_kernel(h2_ref, dm2c_ref, dm1c_ref, g_ref,
@@ -527,6 +566,21 @@ def _attn_saved(D: int) -> bool:
     return D <= 1024
 
 
+def _mlp_saved(D: int) -> bool:
+    """MLP backward flavor: 'saved' writes the forward's pre-GELU fc1
+    activations ((R, H) bf16 per layer, live until that layer's backward)
+    and the backward skips the fc1-forward recompute matmul.  Only
+    meaningful for the narrow kernel and the saved-operand wide dx
+    kernel — the recompute wide flavor ignores it.
+
+    Default OFF (EVT_TRAIN_MLP=saved opts in): the extra (G, N, H) input
+    block adds ~19 MB of double-buffered VMEM to the G=8 narrow tile
+    that already runs near the 128 MB cap, and VMEM overflow only
+    surfaces when compiling on real hardware — flip the default once the
+    on-device A/B (bench_train.py --ab-mlp) proves it compiles and wins."""
+    return _os.environ.get("EVT_TRAIN_MLP") == "saved"
+
+
 def _tile_mlp_bwd(D: int) -> int:
     """Batch tile for the MLP-backward kernel only.  The r3 decompose
     sweep (PERF.md): larger tiles amortize the LN2/GELU vector work and
@@ -572,8 +626,13 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
     x, B, Bp = _pad(x, G)
     dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
     ws = _weights_fwd(p)
+    hidden = p["mlp"]["fc1_w"].shape[-1]
+    save_qkv = _attn_saved(D)
+    # the recompute wide flavor has no kernel that could consume saved m
+    save_m = _mlp_saved(D) and (D <= 768 or _wide_saved())
     kern = functools.partial(_fwd_kernel, G=G, N=N, D=D,
-                             num_heads=cfg.num_heads, eps=cfg.layer_norm_eps)
+                             num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+                             save_qkv=save_qkv, save_m=save_m)
     tok_spec = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     dp_spec = pl.BlockSpec((Bp, 1), lambda i: (0, 0),
@@ -581,11 +640,15 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
     out_specs = [tok_spec, tok_spec]
     out_shapes = [jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
                   jax.ShapeDtypeStruct((Bp, N, D), x.dtype)]
-    if _attn_saved(D):
+    if save_qkv:
         out_specs.append(pl.BlockSpec((G, N, 3 * D), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((Bp, N, 3 * D), x.dtype))
-    outs = pl.pallas_call(
+    if save_m:
+        out_specs.append(pl.BlockSpec((G, N, hidden), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((Bp, N, hidden), x.dtype))
+    outs = list(pl.pallas_call(
         kern,
         grid=(Bp // G,),
         in_specs=[tok_spec, dp_spec] + _const_specs(ws),
@@ -593,12 +656,12 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem()),
         interpret=interpret,
-    )(x, dp, *ws)
-    if _attn_saved(D):
-        out, x1, qkv = outs
-        return out[:B], x1[:B], qkv
-    out, x1 = outs
-    return out[:B], x1[:B], None
+    )(x, dp, *ws))
+    out, x1 = outs[0][:B], outs[1][:B]
+    rest = outs[2:]
+    qkv = rest.pop(0) if save_qkv else None
+    m_sav = rest.pop(0) if save_m else None
+    return out, x1, qkv, m_sav
 
 
 def _tok_dp_specs(G, N, D, Bp):
@@ -620,14 +683,18 @@ def _acc_specs(shapes):
 
 
 def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
-                         interpret):
+                         interpret, m_sav=None):
     """Padded (Bp, N, D) inputs -> (dx1, dW1, db1, dW2, db2, ds2, dbeta2).
 
+    ``m_sav`` (padded (Bp, N, hidden), from the forward's saved output)
+    selects the saved-m kernels; None re-runs the fc1 forward in-kernel.
     Standalone so scripts/bench_train_decompose.py can time the MLP and
     attention backward kernels separately."""
     Bp, N, D = x1.shape
     hidden = p["mlp"]["fc1_w"].shape[-1]
     tok_spec, dp_spec = _tok_dp_specs(G, N, D, Bp)
+    hid_in_spec = pl.BlockSpec((G, N, hidden), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     acc_specs = _acc_specs
     x = x1  # dtype reference only
 
@@ -646,18 +713,26 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
         # constant-index (accumulation over consecutive revisits)
         acc1, accs1 = acc_specs([(D, hidden), (1, hidden), (hidden, D),
                                  (1, D), (1, D), (1, D)])
-        kern = functools.partial(_bwd_mlp_kernel, G=G, N=N, D=D,
-                                 eps=cfg.layer_norm_eps)
+        in_specs = [tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp)
+        inputs = [x1, dout, dp] + ws_mlp
+        if m_sav is not None:
+            kern = functools.partial(_bwd_mlp_kernel_ms, G=G, N=N, D=D,
+                                     eps=cfg.layer_norm_eps)
+            in_specs.append(hid_in_spec)
+            inputs.append(m_sav)
+        else:
+            kern = functools.partial(_bwd_mlp_kernel, G=G, N=N, D=D,
+                                     eps=cfg.layer_norm_eps)
         dx1, dW1, db1, dW2, db2, ds2, dbeta2 = pl.pallas_call(
             kern,
             grid=(Bp // G,),
-            in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
+            in_specs=in_specs,
             out_specs=(tok_spec, *acc1),
             out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype), *accs1),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_vmem_mlp()),
             interpret=interpret,
-        )(x1, dout, dp, *ws_mlp)
+        )(*inputs)
     elif _wide_saved():
         # wide MLP (ViT-L/H), saved-operand flavor: the dx kernel writes
         # the bf16 operands (h2, dm2c, dm1c, g) + all bias/LN grads; the
@@ -669,12 +744,20 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
         hid_spec = pl.BlockSpec((G, N, hidden), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         acc1, accs1 = acc_specs([(1, hidden), (1, D), (1, D), (1, D)])
-        kern = functools.partial(_bwd_mlp_dx_save_kernel, G=G, N=N, D=D,
-                                 eps=cfg.layer_norm_eps)
+        in_specs = [tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp)
+        inputs = [x1, dout, dp] + ws_mlp
+        if m_sav is not None:
+            kern = functools.partial(_bwd_mlp_dx_save_kernel_ms, G=G, N=N,
+                                     D=D, eps=cfg.layer_norm_eps)
+            in_specs.append(hid_in_spec)
+            inputs.append(m_sav)
+        else:
+            kern = functools.partial(_bwd_mlp_dx_save_kernel, G=G, N=N,
+                                     D=D, eps=cfg.layer_norm_eps)
         (dx1, h2c, dm2c, dm1c, gc, db1, db2, ds2, dbeta2) = pl.pallas_call(
             kern,
             grid=(Bp // G,),
-            in_specs=[tok_spec, tok_spec, dp_spec] + _const_specs(ws_mlp),
+            in_specs=in_specs,
             out_specs=(tok_spec, tok_spec, tok_spec, hid_spec, hid_spec,
                        *acc1),
             out_shape=(jax.ShapeDtypeStruct((Bp, N, D), x.dtype),
@@ -686,7 +769,7 @@ def _mlp_backward_padded(x1, dout, dp, p, cfg: BackboneConfig, G: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_vmem_mlp()),
             interpret=interpret,
-        )(x1, dout, dp, *ws_mlp)
+        )(*inputs)
 
         tok2 = pl.BlockSpec((G, N, D), lambda j, i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -808,8 +891,8 @@ def _attn_backward_padded(x, dx1, dp, p, cfg: BackboneConfig, G: int,
     )(*inputs)
 
 
-def _fused_train_bwd_impl(x, x1, qkv, dout, dp, p, cfg: BackboneConfig,
-                          interpret):
+def _fused_train_bwd_impl(x, x1, qkv, m_sav, dout, dp, p,
+                          cfg: BackboneConfig, interpret):
     B0, N, D = x.shape
     G = min(_tile(D), B0)
     x, B, Bp = _pad(x, G)
@@ -823,7 +906,7 @@ def _fused_train_bwd_impl(x, x1, qkv, dout, dp, p, cfg: BackboneConfig,
         Gm = G
 
     dx1, dW1, db1, dW2, db2, ds2, dbeta2 = _mlp_backward_padded(
-        x1, dout, dp, p, cfg, Gm, interpret)
+        x1, dout, dp, p, cfg, Gm, interpret, m_sav=m_sav)
     dx, dWqkv, dbqkv, dWp, dbp, ds1, dbeta1 = _attn_backward_padded(
         x, dx1, dp, p, cfg, G, interpret, qkv=qkv)
 
@@ -857,17 +940,18 @@ def make_fused_block_train(cfg: BackboneConfig, interpret: bool = False):
 
     @jax.custom_vjp
     def block(x, p, dp_keep):
-        out, _, _ = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
+        out, _, _, _ = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
         return out
 
     def fwd(x, p, dp_keep):
-        out, x1, qkv = _fused_train_fwd_impl(x, dp_keep, p, cfg, interpret)
-        return out, (x, x1, qkv, p, dp_keep)
+        out, x1, qkv, m_sav = _fused_train_fwd_impl(x, dp_keep, p, cfg,
+                                                    interpret)
+        return out, (x, x1, qkv, m_sav, p, dp_keep)
 
     def bwd(res, dout):
-        x, x1, qkv, p, dp_keep = res
-        dx, dp_grads = _fused_train_bwd_impl(x, x1, qkv, dout, dp_keep, p,
-                                             cfg, interpret)
+        x, x1, qkv, m_sav, p, dp_keep = res
+        dx, dp_grads = _fused_train_bwd_impl(x, x1, qkv, m_sav, dout,
+                                             dp_keep, p, cfg, interpret)
         return dx, dp_grads, jnp.zeros_like(dp_keep)
 
     block.defvjp(fwd, bwd)

@@ -42,6 +42,10 @@ def main():
                     help="interleave the saved-qkv attention backward "
                          "(default <= ViT-L) against the recompute "
                          "flavor (EVT_TRAIN_ATTN=recompute)")
+    ap.add_argument("--ab-mlp", action="store_true",
+                    help="interleave the saved-m MLP backward (default "
+                         "<= ViT-L) against the recompute flavor "
+                         "(EVT_TRAIN_MLP=recompute)")
     ap.add_argument("--fused-opt", action="store_true",
                     help="single-pass fused clip+Adam "
                          "(train/fused_opt.py; EVT_FUSED_OPT=pallas for "
@@ -199,6 +203,12 @@ def main():
     # these buffers (init_train_state does not copy) — the --ab baseline
     # must be able to re-init from them AFTER the first donating step
     params = jax.tree.map(np.asarray, params)
+    if args.ab_attn:
+        # force the A step onto the saved flavor even where the default
+        # is recompute (ViT-H), so the A/B actually compares flavors
+        os.environ["EVT_TRAIN_ATTN"] = "saved"
+    if args.ab_mlp:
+        os.environ["EVT_TRAIN_MLP"] = "saved"
     if args.fused_opt or args.ab_opt:
         from easy_vitpose_tpu.train.fused_opt import make_fused_adam
         tx = make_fused_adam(5e-4)
@@ -264,6 +274,17 @@ def main():
         jax.block_until_ready(sb)
         os.environ.pop("EVT_TRAIN_ATTN", None)
         print("recompute-attn baseline compiled", flush=True)
+    elif args.ab_mlp:
+        os.environ["EVT_TRAIN_MLP"] = "recompute"
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        os.environ.pop("EVT_TRAIN_MLP", None)
+        print("recompute-mlp baseline compiled", flush=True)
     elif args.ab_opt:
         # fused-opt step (A, already built above) vs the optax chain (B)
         tx_b = make_optimizer(5e-4)
@@ -294,6 +315,7 @@ def main():
             dtb = (time.perf_counter() - t0) / args.steps
             times_b.append(dtb * 1e3)
             blabel = ("recompute" if args.ab_wide or args.ab_attn
+                      or args.ab_mlp
                       else "optax" if args.ab_opt else "xla")
             line += f"  | {blabel} {dtb * 1e3:7.2f} ms"
         print(line, flush=True)
@@ -308,6 +330,7 @@ def main():
     if times_b:
         medb = float(np.median(times_b))
         bkey = ("recompute" if args.ab_wide or args.ab_attn
+                or args.ab_mlp
                 else "optax" if args.ab_opt else "xla")
         result[f"{bkey}_ms_per_step"] = round(medb, 2)
         result[f"speedup_vs_{bkey}"] = round(medb / med, 3)

@@ -47,9 +47,12 @@ def test_forward_matches_xla(setup):
     np.testing.assert_allclose(b, a, atol=2e-5)  # A&S erf envelope
 
 
-@pytest.mark.parametrize("attn_mode", ["saved", "recompute"])
-def test_grads_match_xla(setup, attn_mode, monkeypatch):
+@pytest.mark.parametrize("attn_mode,mlp_mode",
+                         [("saved", "saved"), ("recompute", "recompute"),
+                          ("saved", "recompute")])
+def test_grads_match_xla(setup, attn_mode, mlp_mode, monkeypatch):
     monkeypatch.setenv("EVT_TRAIN_ATTN", attn_mode)
+    monkeypatch.setenv("EVT_TRAIN_MLP", mlp_mode)
     cfg, layer, x, dp = setup
     fused = make_fused_block_train(cfg, interpret=True)
     gx_a, gp_a = jax.grad(_xla_loss, argnums=(0, 1))(x, layer, dp, cfg)
@@ -144,12 +147,16 @@ def test_full_train_step_fused_matches_xla():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
-@pytest.mark.parametrize("wide_mode", ["saved", "recompute"])
-def test_grads_match_wide_model_chunked(wide_mode, monkeypatch):
+@pytest.mark.parametrize("wide_mode,mlp_mode",
+                         [("saved", "saved"), ("saved", "recompute"),
+                          ("recompute", "recompute")])
+def test_grads_match_wide_model_chunked(wide_mode, mlp_mode, monkeypatch):
     """D=1024 triggers the hidden-chunked MLP backward (nj=2): gradients
-    must still match XLA exactly across the chunk boundary, in both the
-    saved-operand (default) and recompute-per-chunk flavors."""
+    must still match XLA exactly across the chunk boundary, in the
+    saved-operand (default, with and without saved-m) and
+    recompute-per-chunk flavors."""
     monkeypatch.setenv("EVT_TRAIN_WIDE", wide_mode)
+    monkeypatch.setenv("EVT_TRAIN_MLP", mlp_mode)
     cfg = BackboneConfig(embed_dim=1024, depth=1, num_heads=8)
     params = init_vit_params(jax.random.PRNGKey(2), cfg)
     layer = jax.tree.map(lambda a: a[0], params["blocks"])
@@ -194,11 +201,13 @@ def test_grads_match_large_batch_mlp_tile(setup):
 
 
 @pytest.mark.parametrize(
-    "D,heads,B,wide_mode,attn_mode",
-    [(96, 4, 5, "saved", "saved"), (96, 4, 16, "saved", "recompute"),
-     (1024, 8, 8, "saved", "saved"), (1024, 8, 8, "recompute", "recompute")])
+    "D,heads,B,wide_mode,attn_mode,mlp_mode",
+    [(96, 4, 5, "saved", "saved", "saved"),
+     (96, 4, 16, "saved", "recompute", "recompute"),
+     (1024, 8, 8, "saved", "saved", "saved"),
+     (1024, 8, 8, "recompute", "recompute", "recompute")])
 def test_tpu_interpret_pipelining(D, heads, B, wide_mode, attn_mode,
-                                  monkeypatch):
+                                  mlp_mode, monkeypatch):
     """Run fwd+bwd under the TPU interpreter (pltpu.InterpretParams),
     which simulates real TPU output-block pipelining and raises
     'Revisited block ... of output' for accumulation across
@@ -213,6 +222,7 @@ def test_tpu_interpret_pipelining(D, heads, B, wide_mode, attn_mode,
 
     monkeypatch.setenv("EVT_TRAIN_WIDE", wide_mode)
     monkeypatch.setenv("EVT_TRAIN_ATTN", attn_mode)
+    monkeypatch.setenv("EVT_TRAIN_MLP", mlp_mode)
     cfg = BackboneConfig(embed_dim=D, depth=1, num_heads=heads)
     params = init_vit_params(jax.random.PRNGKey(2), cfg)
     layer = jax.tree.map(lambda a: a[0], params["blocks"])
