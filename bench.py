@@ -42,6 +42,26 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # the axon tunnel sporadically drops into UNAVAILABLE for minutes
+    # (ROADMAP.md environment notes); bounded retries keep the driver's
+    # end-of-round bench alive through a transient outage
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"# backend unavailable (attempt {attempt + 1}/5), "
+                  f"retrying in 120s: {e}", flush=True)
+            try:  # drop the cached init failure so the retry is real
+                import jax.extend.backend as _jeb
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(120)
+
     import jax.numpy as jnp
     from easy_vitpose_tpu.configs import get_model_config
     from easy_vitpose_tpu.models.vitpose import (cast_params,
