@@ -161,7 +161,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
                                     block_impl=settings.block_impl), mesh)
     eval_step = jax.jit(
-        steplib.make_eval_step(cfg, use_amp=settings.use_amp),
+        steplib.make_eval_step(cfg, use_amp=settings.use_amp,
+                               return_heatmaps=True),
         in_shardings=(meshlib.replicated(mesh), meshlib.batch_sharded(mesh)),
     )
 
@@ -229,24 +230,37 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 f"{settings.work_dir})")
 
         val_loss = train_loss
+        val_acc = None
         if val_ds is not None and len(val_ds):
+            from ..eval.metrics import pose_pck_accuracy
             vlosses = []
+            acc_w, acc_n = 0.0, 0
             for batch in batch_iterator(val_ds, settings.batch_size,
                                         shuffle=False, drop_last=False,
                                         prefetch=1):
                 b = {k: v for k, v in batch.items() if k != "meta"}
-                if len(b["images"]) % n_dev:  # pad to device multiple
-                    pad = n_dev - len(b["images"]) % n_dev
+                n_orig = len(b["images"])
+                if n_orig % n_dev:  # pad to device multiple
+                    pad = n_dev - n_orig % n_dev
                     # tile, don't slice: the tail batch may hold fewer rows
                     # than the shortfall (e.g. 2 leftover images needing
                     # pad=6), and v[:pad] would under-pad and crash the
                     # sharded eval step
-                    reps = -(-pad // len(b["images"])) + 1
+                    reps = -(-pad // n_orig) + 1
                     b = {k: np.concatenate([v] * reps)[:len(v) + pad]
                          for k, v in b.items()}
-                vlosses.append(float(eval_step(state,
-                                               meshlib.shard_batch(mesh, b))))
+                loss, heat = eval_step(state, meshlib.shard_batch(mesh, b))
+                vlosses.append(float(loss))
+                # in-loop PCK@0.05 on the unpadded rows (the reference loop
+                # never fills its accuracy slot, train_valid_fn.py:25)
+                _, avg, cnt = pose_pck_accuracy(
+                    np.asarray(heat)[:n_orig],
+                    np.asarray(b["targets"][:n_orig]),
+                    np.asarray(b["target_weights"][:n_orig, :, 0]) > 0)
+                acc_w += avg * cnt
+                acc_n += cnt
             val_loss = float(np.mean(vlosses)) if vlosses else train_loss
+            val_acc = acc_w / acc_n if acc_n else None
 
         if settings.lr_policy == "step":
             # warmup/milestone schedule lives inside the optimizer (driven
@@ -259,12 +273,16 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                                                            new_lr)
         dt = time.time() - t0
         history.append({"epoch": epoch, "train_loss": train_loss,
-                        "val_loss": val_loss, "lr": new_lr, "seconds": dt})
+                        "val_loss": val_loss, "val_acc": val_acc,
+                        "lr": new_lr, "seconds": dt})
+        acc_txt = f"pck {val_acc:.3f}  " if val_acc is not None else ""
         log(f"[ep {epoch:03d}] train {train_loss:.5f}  val {val_loss:.5f}  "
-            f"lr {new_lr:.2e}  ({dt:.1f}s)")
+            f"{acc_txt}lr {new_lr:.2e}  ({dt:.1f}s)")
         if tb is not None:
             tb.add_scalar("loss/train", train_loss, epoch)
             tb.add_scalar("loss/val", val_loss, epoch)
+            if val_acc is not None:
+                tb.add_scalar("acc/val_pck", val_acc, epoch)
             tb.add_scalar("lr", new_lr, epoch)
             gn = [float(g) for g in gnorms if g is not None]
             if gn:

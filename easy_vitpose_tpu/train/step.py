@@ -256,8 +256,14 @@ def apply_optimizer(tx, grads, opt_state, params):
 
 
 def make_eval_step(cfg: ModelConfig, *, use_amp: bool = True,
-                   loss_fn: Callable = joints_mse_loss):
-    """Validation step (reference valid_model, train_valid_fn.py:22-39)."""
+                   loss_fn: Callable = joints_mse_loss,
+                   return_heatmaps: bool = False):
+    """Validation step (reference valid_model, train_valid_fn.py:22-39).
+
+    ``return_heatmaps`` additionally returns the f32 heatmaps so the epoch
+    loop can compute in-loop PCK (eval/metrics.py::pose_pck_accuracy) —
+    the reference's loop tracks only the loss (train_valid_fn.py:25
+    ``total_metric`` is never filled in)."""
     from ..models.vitpose import vitpose_forward
 
     def step(state, batch):
@@ -265,7 +271,10 @@ def make_eval_step(cfg: ModelConfig, *, use_amp: bool = True,
         fwd_params = cast_params(params, jnp.bfloat16) if use_amp else params
         x = batch["images"].astype(jnp.bfloat16 if use_amp else jnp.float32)
         heat = vitpose_forward(fwd_params, x, cfg).astype(jnp.float32)
-        return loss_fn(heat, batch["targets"], batch["target_weights"])
+        loss = loss_fn(heat, batch["targets"], batch["target_weights"])
+        if return_heatmaps:
+            return loss, heat
+        return loss
 
     return step
 

@@ -144,6 +144,10 @@ def test_val_tail_batch_smaller_than_pad(coco_dir, tmp_path):
     val = _Subset(CocoPoseDataset(coco_dir, "train2017", is_train=False), 10)
     out = train_model(params, cfg, ds, val, settings, log=lambda s: None)
     assert np.isfinite(out["history"][0]["val_loss"])
+    # in-loop PCK@0.05 is computed over the UNPADDED rows and is a valid
+    # fraction (reference's loop never fills its accuracy slot)
+    acc = out["history"][0]["val_acc"]
+    assert acc is not None and 0.0 <= acc <= 1.0
 
 
 def test_partial_resume_drops_mismatched_head():
