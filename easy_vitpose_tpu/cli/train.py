@@ -69,6 +69,9 @@ def main(argv=None):
                    help="spawn-pool dataset workers (the reference's "
                         "workers_per_gpu; 0 = background thread)")
     p.add_argument("--work-dir", default=None)
+    p.add_argument("--eval-ap-interval", type=int, default=0,
+                   help="run in-loop COCO AP over the val split's gt crops "
+                        "every N epochs (0 = off; COCO-17 only)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -93,6 +96,8 @@ def main(argv=None):
         overrides.get("freeze_backbone", False),
         seed=overrides.get("seed", args.seed),
         workers=overrides.get("workers", args.workers),
+        eval_ap_interval=overrides.get("eval_ap_interval",
+                                       args.eval_ap_interval),
         work_dir=work_dir)
     lr = overrides.get("lr", args.lr)
     if lr is not None:

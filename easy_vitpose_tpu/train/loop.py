@@ -55,6 +55,9 @@ class TrainSettings:
     resume_state_dir: str = ""        # restore a full train state
     tensorboard: bool = True          # scalar event files under work_dir/tb
     workers: int = 0                  # spawn-pool dataset workers (0=thread)
+    eval_ap_interval: int = 0         # epochs between in-loop COCO AP evals
+    #                                   over the val split's gt crops (0=off;
+    #                                   needs a K=17 val_ds with .ann_file)
 
 
 class PlateauScheduler:
@@ -231,6 +234,15 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
 
         val_loss = train_loss
         val_acc = None
+        val_ap = None
+        # in-loop COCO AP over the val split's gt crops (the reference runs
+        # AP only in the standalone evaluation_on_coco.py harness); gated to
+        # COCO-17 — CocoKeypointEval's sigma table is the COCO-17 one
+        ap_due = bool(settings.eval_ap_interval and val_ds is not None
+                      and (epoch + 1) % settings.eval_ap_interval == 0
+                      and getattr(val_ds, "ann_file", None)
+                      and cfg.head.num_keypoints == 17)
+        ap_results = []
         if val_ds is not None and len(val_ds):
             from ..eval.metrics import pose_pck_accuracy
             vlosses = []
@@ -259,8 +271,30 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                     np.asarray(b["target_weights"][:n_orig, :, 0]) > 0)
                 acc_w += avg * cnt
                 acc_n += cnt
+                if ap_due:
+                    from ..ops.decode import keypoints_from_heatmaps_udp
+                    from .dataset import PIXEL_STD
+                    metas = batch["meta"][:n_orig]
+                    centers = np.stack([m["center"] for m in metas])
+                    scales = np.stack([m["scale"] for m in metas]) * PIXEL_STD
+                    preds, maxv = keypoints_from_heatmaps_udp(
+                        np.asarray(heat)[:n_orig], centers, scales)
+                    preds, maxv = np.asarray(preds), np.asarray(maxv)
+                    for i, m in enumerate(metas):
+                        flat = np.concatenate([preds[i], maxv[i]], -1)
+                        ap_results.append({
+                            "image_id": int(m["imgId"]), "category_id": 1,
+                            "keypoints": [float(v) for v in flat.ravel()],
+                            "score": float(maxv[i].mean())})
             val_loss = float(np.mean(vlosses)) if vlosses else train_loss
             val_acc = acc_w / acc_n if acc_n else None
+            if ap_due and ap_results:
+                import json as _json
+                from ..eval.cocoeval import CocoKeypointEval
+                with open(val_ds.ann_file) as f:
+                    gtj = _json.load(f)
+                val_ap = float(
+                    CocoKeypointEval(gtj, ap_results).accumulate()["AP"])
 
         if settings.lr_policy == "step":
             # warmup/milestone schedule lives inside the optimizer (driven
@@ -274,15 +308,18 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         dt = time.time() - t0
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "val_loss": val_loss, "val_acc": val_acc,
-                        "lr": new_lr, "seconds": dt})
+                        "val_ap": val_ap, "lr": new_lr, "seconds": dt})
         acc_txt = f"pck {val_acc:.3f}  " if val_acc is not None else ""
+        ap_txt = f"AP {val_ap:.3f}  " if val_ap is not None else ""
         log(f"[ep {epoch:03d}] train {train_loss:.5f}  val {val_loss:.5f}  "
-            f"{acc_txt}lr {new_lr:.2e}  ({dt:.1f}s)")
+            f"{acc_txt}{ap_txt}lr {new_lr:.2e}  ({dt:.1f}s)")
         if tb is not None:
             tb.add_scalar("loss/train", train_loss, epoch)
             tb.add_scalar("loss/val", val_loss, epoch)
             if val_acc is not None:
                 tb.add_scalar("acc/val_pck", val_acc, epoch)
+            if val_ap is not None:
+                tb.add_scalar("acc/val_ap", val_ap, epoch)
             tb.add_scalar("lr", new_lr, epoch)
             gn = [float(g) for g in gnorms if g is not None]
             if gn:

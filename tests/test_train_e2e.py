@@ -148,6 +148,26 @@ def test_val_tail_batch_smaller_than_pad(coco_dir, tmp_path):
     # fraction (reference's loop never fills its accuracy slot)
     acc = out["history"][0]["val_acc"]
     assert acc is not None and 0.0 <= acc <= 1.0
+    # _Subset has no ann_file -> the AP hook must stay off, not crash
+    assert out["history"][0]["val_ap"] is None
+
+
+def test_in_loop_coco_ap(coco_dir, tmp_path):
+    """eval_ap_interval=1 decodes the val heatmaps (UDP), scores them with
+    the built-in COCOeval against the dataset's own annotation json, and
+    records a valid AP in the history (reference runs AP only in the
+    standalone evaluation_on_coco.py harness)."""
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    settings = TrainSettings(lr=1e-3, total_epochs=1, batch_size=8,
+                             use_amp=False, save_interval=0,
+                             ckpt_topk_epoch=0, eval_ap_interval=1,
+                             work_dir=str(tmp_path / "run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    val = CocoPoseDataset(coco_dir, "train2017", is_train=False)
+    out = train_model(params, cfg, ds, val, settings, log=lambda s: None)
+    ap = out["history"][0]["val_ap"]
+    assert ap is not None and -1.0 <= ap <= 1.0
 
 
 def test_partial_resume_drops_mismatched_head():
