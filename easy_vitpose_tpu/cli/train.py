@@ -72,6 +72,9 @@ def main(argv=None):
     p.add_argument("--eval-ap-interval", type=int, default=0,
                    help="run in-loop COCO AP over the val split's gt crops "
                         "every N epochs (0 = off; COCO-17 only)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA shadow weights, e.g. 0.999 (0 = off); "
+                        "validation and checkpoints then use the EMA")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -98,6 +101,7 @@ def main(argv=None):
         workers=overrides.get("workers", args.workers),
         eval_ap_interval=overrides.get("eval_ap_interval",
                                        args.eval_ap_interval),
+        ema_decay=overrides.get("ema_decay", args.ema_decay),
         work_dir=work_dir)
     lr = overrides.get("lr", args.lr)
     if lr is not None:

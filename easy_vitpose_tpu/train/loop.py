@@ -58,6 +58,8 @@ class TrainSettings:
     eval_ap_interval: int = 0         # epochs between in-loop COCO AP evals
     #                                   over the val split's gt crops (0=off;
     #                                   needs a K=17 val_ds with .ann_file)
+    ema_decay: float = 0.0            # EMA shadow weights (0=off); when on,
+    #                                   validation + checkpoints use the EMA
 
 
 class PlateauScheduler:
@@ -143,7 +145,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     else:
         tx = steplib.make_optimizer(settings.lr,
                                     freeze_backbone=settings.freeze_backbone)
-    state = steplib.init_train_state(params, tx)
+    state = steplib.init_train_state(params, tx,
+                                     ema_decay=settings.ema_decay)
     start_epoch = 0
     if settings.resume_state_dir:
         from .orbax_ckpt import restore_train_state
@@ -158,11 +161,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         # rule and could replicate them on a real mesh)
         train_step = steplib.make_train_step_sharded(
             cfg, tx, mesh, use_amp=settings.use_amp,
-            block_impl=settings.block_impl)
+            block_impl=settings.block_impl,
+            ema_decay=settings.ema_decay)
     else:
         train_step = steplib.jit_data_parallel(
             steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
-                                    block_impl=settings.block_impl), mesh)
+                                    block_impl=settings.block_impl,
+                                    ema_decay=settings.ema_decay), mesh)
     eval_step = jax.jit(
         steplib.make_eval_step(cfg, use_amp=settings.use_amp,
                                return_heatmaps=True),
@@ -245,6 +250,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         ap_results = []
         if val_ds is not None and len(val_ds):
             from ..eval.metrics import pose_pck_accuracy
+            # with EMA on, validate (and checkpoint, below) the shadow
+            # weights — the weights one would actually deploy
+            eval_state = ({**state, "params": state["ema_params"]}
+                          if settings.ema_decay else state)
             vlosses = []
             acc_w, acc_n = 0.0, 0
             for batch in batch_iterator(val_ds, settings.batch_size,
@@ -261,7 +270,8 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                     reps = -(-pad // n_orig) + 1
                     b = {k: np.concatenate([v] * reps)[:len(v) + pad]
                          for k, v in b.items()}
-                loss, heat = eval_step(state, meshlib.shard_batch(mesh, b))
+                loss, heat = eval_step(eval_state,
+                                       meshlib.shard_batch(mesh, b))
                 vlosses.append(float(loss))
                 # in-loop PCK@0.05 on the unpadded rows (the reference loop
                 # never fills its accuracy slot, train_valid_fn.py:25)
@@ -327,8 +337,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             tb.add_scalar("epoch_seconds", dt, epoch)
             tb.flush()
 
+        snap = (state["ema_params"] if settings.ema_decay
+                else state["params"])
         serving = steplib.merge_bn_state(
-            jax.tree.map(np.asarray, state["params"]),
+            jax.tree.map(np.asarray, snap),
             jax.tree.map(np.asarray, state["bn_state"]))
         if settings.save_interval and \
                 (epoch + 1) % settings.save_interval == 0:
@@ -362,7 +374,9 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     if tb is not None:
         tb.close()
     final = steplib.merge_bn_state(
-        jax.tree.map(np.asarray, state["params"]),
+        jax.tree.map(np.asarray,
+                     state["ema_params"] if settings.ema_decay
+                     else state["params"]),
         jax.tree.map(np.asarray, state["bn_state"]))
     save_params(os.path.join(settings.work_dir, "last.npz"), final)
     return {"params": final, "history": history}

@@ -175,16 +175,32 @@ def get_learning_rate(opt_state) -> float:
     return found[0] if found else float("nan")
 
 
-def init_train_state(params, tx: optax.GradientTransformation) -> Dict[str, Any]:
+def init_train_state(params, tx: optax.GradientTransformation,
+                     ema_decay: float = 0.0) -> Dict[str, Any]:
     # BN running stats live inside params["head"]["bn_state"]; optimizer
     # must not touch them -> keep them out of the trainable tree.
     trainable, bn_state = split_bn_state(params)
-    return {
+    state = {
         "params": trainable,
         "opt_state": tx.init(trainable),
         "bn_state": bn_state,
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema_decay:
+        # EMA shadow weights (beyond the reference: its loop keeps none);
+        # BN running stats are already their own moving average and are
+        # shared between the raw and EMA snapshots
+        state["ema_params"] = jax.tree.map(jnp.array, trainable)
+    return state
+
+
+def _ema_update(state, new_params, ema_decay: float):
+    """e' = d*e + (1-d)*p' per leaf — one extra HBM pass, only when on."""
+    if not ema_decay:
+        return {}
+    return {"ema_params": jax.tree.map(
+        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+        state["ema_params"], new_params)}
 
 
 def split_bn_state(params):
@@ -206,7 +222,7 @@ def merge_bn_state(params, bn_state):
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, use_amp: bool = True, remat: bool = False,
                     loss_fn: Callable = joints_mse_loss,
-                    block_impl: str = "xla"):
+                    block_impl: str = "xla", ema_decay: float = 0.0):
     """Build the jittable train step.
 
     Batch: dict(images (B,256,192,3) f32 normalized NHWC,
@@ -237,6 +253,7 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             "bn_state": jax.tree.map(jnp.asarray, new_bn),
             "step": state["step"] + 1,
         }
+        new_state.update(_ema_update(state, new_params, ema_decay))
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     return step
@@ -296,7 +313,8 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
                             mesh, *, use_amp: bool = True,
                             loss_fn: Callable = joints_mse_loss,
                             block_impl: str = "pallas_train",
-                            donate_state: bool = True):
+                            donate_state: bool = True,
+                            ema_decay: float = 0.0):
     """Data-parallel train step via ``shard_map`` (explicit SPMD).
 
     The GSPMD wrapper (``jit_data_parallel``) relies on XLA's sharding
@@ -353,6 +371,9 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
             "bn_state": jax.tree.map(jnp.asarray, new_bn),
             "step": state["step"] + 1,
         }
+        # grads are pmean'd, so the update (and the EMA recursion) is
+        # identical on every device — stays replicated
+        new_state.update(_ema_update(state, new_params, ema_decay))
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     inner = shard_map(

@@ -142,3 +142,63 @@ def test_amp_train_step_with_drop_path():
     new_state, metrics = step(state, make_batch(rng, 4), jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state["step"]) == 1
+
+
+def test_ema_recursion_exact(setup):
+    """ema_decay maintains e' = d*e + (1-d)*p' exactly, starting from the
+    initial params; the non-EMA trajectory is untouched."""
+    cfg, tx, _ = setup
+    params = init_vitpose_params(jax.random.PRNGKey(3), cfg)
+    d = 0.75
+    state = trainlib.init_train_state(params, tx, ema_decay=d)
+    step = jax.jit(trainlib.make_train_step(cfg, tx, use_amp=False,
+                                            ema_decay=d))
+    plain = jax.jit(trainlib.make_train_step(cfg, tx, use_amp=False))
+    state_p = trainlib.init_train_state(params, tx)
+
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(0)
+    ema_ref = jax.tree.map(np.asarray, state["params"])
+    for i in range(3):
+        batch = make_batch(rng, 8)
+        state, _ = step(state, batch, key)
+        state_p, _ = plain(state_p, batch, key)
+        ema_ref = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            ema_ref, state["params"])
+        # EMA matches the host-side recursion over the realized params
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(ema_ref),
+                jax.tree.leaves(state["ema_params"])):
+            np.testing.assert_allclose(
+                a, np.asarray(b), rtol=2e-6, atol=1e-7,
+                err_msg=f"step {i} {jax.tree_util.keystr(path)}")
+        # params trajectory identical with and without EMA
+        for a, b in zip(jax.tree.leaves(state["params"]),
+                        jax.tree.leaves(state_p["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_sharded_step_matches_single(setup):
+    """The shard_map train step's EMA equals the single-device one."""
+    cfg, tx, _ = setup
+    params = init_vitpose_params(jax.random.PRNGKey(4), cfg)
+    d = 0.9
+    mesh = meshlib.make_mesh()
+    state_a = trainlib.init_train_state(params, tx, ema_decay=d)
+    state_b = trainlib.init_train_state(params, tx, ema_decay=d)
+    sharded = trainlib.make_train_step_sharded(
+        cfg, tx, mesh, use_amp=False, block_impl="xla",
+        donate_state=False, ema_decay=d)
+    single = jax.jit(trainlib.make_train_step(cfg, tx, use_amp=False,
+                                              ema_decay=d))
+    rng = np.random.default_rng(6)
+    batch = make_batch(rng, 8)
+    key = jax.random.PRNGKey(1)
+    state_a, _ = sharded(state_a, meshlib.shard_batch(mesh, batch), key)
+    state_b, _ = single(state_b, batch, key)
+    for a, b in zip(jax.tree.leaves(state_a["ema_params"]),
+                    jax.tree.leaves(state_b["ema_params"])):
+        # pmean reduction order vs the single-device sum: float noise only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
