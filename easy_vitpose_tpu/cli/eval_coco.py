@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0, help="max images (debug)")
     p.add_argument("--use-gt-bbox", action="store_true",
                    help="evaluate with ground-truth boxes (no detector)")
+    p.add_argument("--gt-crops-batched", type=int, default=0, metavar="B",
+                   help="fast gt-crop path: dataset-style affine crops in "
+                        "fixed batches of B through one jitted forward "
+                        "(no detector, no per-image pipeline) — the cheap "
+                        "way to run the AP parity gate; supports "
+                        "bf16/fp32/int8 dtypes")
     p.add_argument("--oks-nms", choices=["none", "hard", "soft"],
                    default="none",
                    help="per-image OKS NMS over predictions before scoring "
@@ -68,6 +74,10 @@ def main(argv=None):
             x, y, w, h = a["bbox"]
             gt_boxes.setdefault(a["image_id"], []).append(
                 [x, y, x + w, y + h, 1.0])
+
+    if args.gt_crops_batched:
+        results = _gt_crops_batched(args)
+        return _score(args, gt, results)
 
     dataset = args.dataset
     if dataset is None and args.task is None:
@@ -115,6 +125,82 @@ def main(argv=None):
             rate = (n + 1) / (time.perf_counter() - t0)
             print(f"  {n + 1}/{len(img_ids)} images ({rate:.1f} img/s)")
 
+    return _score(args, gt, results)
+
+
+def _gt_crops_batched(args):
+    """Batched gt-crop evaluation: dataset-style affine crops -> fixed-slot
+    jitted forward -> UDP decode -> COCO results.
+
+    Isolates model quality from the detector and runs at training-forward
+    throughput, so the "AP within 0.3" parity gate
+    (reference evaluation_on_coco.py:76-87) is one cheap command once real
+    checkpoints are reachable; int8 gives the quantization AP delta the
+    same way."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import NUM_KEYPOINTS, get_model_config
+    from ..models.vitpose import cast_params, vitpose_forward
+    from ..ops.decode import keypoints_from_heatmaps_udp
+    from ..pipeline.pose_step import default_block_impl
+    from ..train.dataset import PIXEL_STD, CocoPoseDataset, batch_iterator
+    from ..utils.checkpoint import load_params
+
+    dataset = args.dataset or "coco"
+    K = NUM_KEYPOINTS[dataset]
+    cfgm = get_model_config(dataset, args.model_name)
+    params = load_params(args.model)
+    impl = default_block_impl(
+        compute_dtype=jnp.float32 if args.dtype == "fp32"
+        else jnp.bfloat16)
+    if args.dtype in ("int8", "w8a8"):
+        from ..models.quant import quantize_vit_params
+        params = quantize_vit_params(params, jnp.bfloat16)
+        impl = "pallas_q8" if impl == "pallas" else "xla_q8"
+    elif args.dtype in ("bf16", "bfloat16"):
+        params = cast_params(params, jnp.bfloat16)
+    in_dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
+    fwd = jax.jit(lambda p, x: vitpose_forward(
+        p, x.astype(in_dtype), cfgm, block_impl=impl).astype(jnp.float32))
+
+    ds = CocoPoseDataset(
+        root_path=os.path.dirname(args.imgdir.rstrip("/")) or ".",
+        data_version=os.path.basename(args.imgdir.rstrip("/")),
+        ann_file=args.ann, is_train=False, num_joints=K)
+    B = args.gt_crops_batched
+    results = []
+    t0 = time.perf_counter()
+    done = 0
+    for b in batch_iterator(ds, B, shuffle=False, drop_last=False,
+                            prefetch=2):
+        n = len(b["images"])
+        imgs = b["images"]
+        if n < B:  # keep the jitted program's shape static
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], B - n, 0)])
+        heat = np.asarray(fwd(params, jnp.asarray(imgs)))[:n]
+        metas = b["meta"]
+        centers = np.stack([m["center"] for m in metas])
+        scales = np.stack([m["scale"] for m in metas]) * PIXEL_STD
+        preds, maxv = keypoints_from_heatmaps_udp(heat, centers, scales)
+        preds, maxv = np.asarray(preds), np.asarray(maxv)
+        for i, m in enumerate(metas):
+            flat = np.concatenate([preds[i], maxv[i]], -1).ravel()
+            results.append({
+                "image_id": int(m["imgId"]), "category_id": 1,
+                "keypoints": [round(float(v), 2) for v in flat],
+                "score": float(maxv[i].mean())})
+        done += n
+        if done % (20 * B) < B:
+            rate = done / (time.perf_counter() - t0)
+            print(f"  {done}/{len(ds)} crops ({rate:.1f} crop/s)")
+    print(f"gt-crops-batched: {len(results)} detections "
+          f"({len(ds) / (time.perf_counter() - t0):.1f} crop/s)")
+    return results
+
+
+def _score(args, gt, results):
+    """Optional OKS-NMS, results file, and AP summary (shared tail)."""
     if args.oks_nms != "none" and results:
         from collections import defaultdict
         from ..ops.oks import oks_nms, soft_oks_nms

@@ -54,3 +54,57 @@ def test_eval_coco_cli_runs(tmp_path):
     for r in results:
         assert len(r["keypoints"]) == 17 * 3
         assert np.isfinite(r["score"])
+
+
+def test_eval_coco_gt_crops_batched(tmp_path):
+    """--gt-crops-batched: dataset-crop fast path produces one detection
+    per gt instance (incl. a non-full tail batch) and a valid AP summary."""
+    import jax
+    from easy_vitpose_tpu.cli.eval_coco import main
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ckpt = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(ckpt, init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+
+    imgdir = tmp_path / "val"
+    imgdir.mkdir()
+    rng = np.random.default_rng(1)
+    images, annotations = [], []
+    for i in range(5):
+        img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(str(imgdir / name), img)
+        images.append({"id": i, "file_name": name, "width": 320,
+                       "height": 240})
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.uniform(60, 260, 17)
+        kp[:, 1] = rng.uniform(40, 200, 17)
+        kp[:, 2] = 2
+        x0, y0 = float(kp[:, 0].min()), float(kp[:, 1].min())
+        bw = float(kp[:, 0].max() - x0)
+        bh = float(kp[:, 1].max() - y0)
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "keypoints": kp.ravel().tolist(), "num_keypoints": 17,
+            "bbox": [x0, y0, bw, bh], "area": bw * bh, "iscrowd": 0})
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+
+    out = str(tmp_path / "results.json")
+    # batch 2 over 5 instances -> 2 full batches + a 1-row tail (padded)
+    stats = main(["--ann", ann, "--imgdir", str(imgdir), "--model", ckpt,
+                  "--model-name", "s", "--gt-crops-batched", "2",
+                  "--dtype", "fp32", "--out", out])
+    assert set(stats) >= {"AP", "AR", "AP .5", "AP (M)"}
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 5
+    ids = sorted(r["image_id"] for r in results)
+    assert ids == [0, 1, 2, 3, 4]
+    for r in results:
+        assert len(r["keypoints"]) == 17 * 3
+        assert np.isfinite(r["score"])
