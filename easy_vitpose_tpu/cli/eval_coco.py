@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--oks-thr", type=float, default=0.9)
     p.add_argument("--task", default=None,
                    help="task head for multi-task (ViTPose+) checkpoints")
+    p.add_argument("--flip-test", action="store_true",
+                   help="flip-test averaging (mmpose eval protocol: also "
+                        "forward the mirrored crop, un-flip, average; the "
+                        "reference declares flip_test in its configs but "
+                        "never wires it)")
     args = p.parse_args(argv)
 
     with open(args.ann) as f:
@@ -93,7 +98,8 @@ def main(argv=None):
     model = VitInference(args.model, yolo=args.yolo,
                          model_name=args.model_name, dataset=dataset,
                          yolo_size=args.yolo_size, is_video=False,
-                         dtype=args.dtype, task=args.task)
+                         dtype=args.dtype, task=args.task,
+                         flip_test=args.flip_test)
 
     results = []
     t0 = time.perf_counter()
@@ -161,8 +167,23 @@ def _gt_crops_batched(args):
     elif args.dtype in ("bf16", "bfloat16"):
         params = cast_params(params, jnp.bfloat16)
     in_dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
-    fwd = jax.jit(lambda p, x: vitpose_forward(
-        p, x.astype(in_dtype), cfgm, block_impl=impl).astype(jnp.float32))
+    fp = None
+    if args.flip_test:
+        from ..skeletons import flip_pairs as _flip_pairs
+        fp = tuple(tuple(int(v) for v in pr) for pr in _flip_pairs(dataset))
+
+    def _fwd(p, x):
+        x = x.astype(in_dtype)
+        h = vitpose_forward(p, x, cfgm,
+                            block_impl=impl).astype(jnp.float32)
+        if fp is not None:
+            from ..ops.affine import flip_back_heatmaps
+            hf = vitpose_forward(p, x[:, :, ::-1, :], cfgm,
+                                 block_impl=impl).astype(jnp.float32)
+            h = 0.5 * (h + flip_back_heatmaps(hf, fp))
+        return h
+
+    fwd = jax.jit(_fwd)
 
     ds = CocoPoseDataset(
         root_path=os.path.dirname(args.imgdir.rstrip("/")) or ".",

@@ -108,3 +108,45 @@ def test_eval_coco_gt_crops_batched(tmp_path):
     for r in results:
         assert len(r["keypoints"]) == 17 * 3
         assert np.isfinite(r["score"])
+
+
+def test_gt_crops_batched_flip_test_consistency(tmp_path):
+    """--flip-test on a horizontally-symmetric model must not move the AP
+    summary structure (smoke: runs, finite scores, same detection count)."""
+    import jax
+    from easy_vitpose_tpu.cli.eval_coco import main
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ckpt = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(ckpt, init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    imgdir = tmp_path / "val"
+    imgdir.mkdir()
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    cv2.imwrite(str(imgdir / "000000000000.jpg"), img)
+    kp = np.zeros((17, 3))
+    kp[:, 0] = rng.uniform(60, 260, 17)
+    kp[:, 1] = rng.uniform(40, 200, 17)
+    kp[:, 2] = 2
+    x0, y0 = float(kp[:, 0].min()), float(kp[:, 1].min())
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": [{"id": 0, "file_name": "000000000000.jpg",
+                               "width": 320, "height": 240}],
+                   "annotations": [{"id": 1, "image_id": 0,
+                                    "category_id": 1,
+                                    "keypoints": kp.ravel().tolist(),
+                                    "num_keypoints": 17,
+                                    "bbox": [x0, y0, 100.0, 150.0],
+                                    "area": 15000.0, "iscrowd": 0}]}, f)
+    out = str(tmp_path / "results.json")
+    stats = main(["--ann", ann, "--imgdir", str(imgdir), "--model", ckpt,
+                  "--model-name", "s", "--gt-crops-batched", "1",
+                  "--dtype", "fp32", "--flip-test", "--out", out])
+    assert np.isfinite(stats["AP"]) or stats["AP"] == -1
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 1 and np.isfinite(results[0]["score"])
