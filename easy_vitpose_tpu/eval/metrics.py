@@ -1,8 +1,8 @@
-"""Keypoint metrics: PCK / AUC / NME / EPE.
+"""Keypoint metrics: PCK / AUC / NME / EPE / multi-label accuracy.
 
 Numerically equivalent to the reference metric stack
 (reference vit_utils/top_down_eval.py:29-58 _calc_distances, :61-79
-_distance_acc, :155-234 pck, :237-266 auc, :269-289 nme, :292-314 epe),
+_distance_acc, :155-234 pck, :237-266 auc, :269-289 nme, :292-314 epe, :677-703 multilabel),
 vectorized (no per-threshold python loops where avoidable).
 """
 from __future__ import annotations
@@ -83,3 +83,17 @@ def keypoint_epe(pred, gt, mask) -> float:
                        np.ones((pred.shape[0], pred.shape[2]), np.float32))
     v = d[d != -1]
     return v.sum() / max(1, len(v))
+
+
+def multilabel_classification_accuracy(pred, gt, mask, thr: float = 0.5
+                                       ) -> float:
+    """Multi-label classification accuracy (reference
+    top_down_eval.py:677-703): a sample counts as correct only when every
+    label is on the same side of ``thr`` as its ground truth; samples
+    missing any label's ground truth are excluded (mask (N,1) or (N,L))."""
+    pred, gt, mask = (np.asarray(a) for a in (pred, gt, mask))
+    valid = (mask > 0).min(axis=1) if mask.ndim == 2 else (mask > 0)
+    pred, gt = pred[valid], gt[valid]
+    if pred.shape[0] == 0:
+        return 0.0
+    return float((((pred - thr) * (gt - thr)) > 0).all(axis=1).mean())

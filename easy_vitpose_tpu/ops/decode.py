@@ -11,6 +11,10 @@ Numerically faithful re-derivation of the reference decode stack
 * :func:`keypoints_from_heatmaps_udp` — the composition used by
   ``VitInference.postprocess`` (easy_ViTPose/inference.py:187-205)
 * :func:`default_shift_decode` — the non-UDP '+/-0.25 shift' path (:617-629)
+* :func:`taylor_refine`        — DARK 'unbiased' Newton step     (:317-351)
+* :func:`keypoints_from_heatmaps` — the mmpose-compatible front door
+  (default/unbiased/megvii/None/UDP post-processing)          (:493-641)
+* :func:`keypoints_from_heatmaps3d` — 3D decode + xy transform   (:644-674)
 
 Everything is fixed-shape and vectorized over (N, K): no per-keypoint host
 loops (the reference's hot loop #4), no cv2, no numpy at trace time — it fuses
@@ -18,7 +22,7 @@ into the same XLA program as the model forward pass.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +218,107 @@ def default_shift_decode(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     ok = ((px > 1) & (px < W - 1) & (py > 1) & (py < H - 1)).astype(jnp.float32)
     shift = jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1) * 0.25
     return preds + shift * ok[..., None], maxvals
+
+
+def modulate_gaussian_blur(heatmaps: jnp.ndarray, kernel: int
+                           ) -> jnp.ndarray:
+    """The reference's modulation blur (_gaussian_blur, top_down_eval.py:
+    418-457), distinct from the UDP blur: the map is ZERO-padded by the
+    kernel radius before cv2.GaussianBlur and each map is rescaled so its
+    max matches the original max."""
+    r = kernel // 2
+    g = gaussian_kernel_1d(kernel)
+    x = heatmaps.astype(jnp.float32)
+    H, W = x.shape[-2], x.shape[-1]
+    orig_max = jnp.max(x, axis=(-2, -1), keepdims=True)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)))
+    h1 = sum(xp[..., :, i:i + W] * g[i] for i in range(kernel))
+    out = sum(h1[..., i:i + H, :] * g[i] for i in range(kernel))
+    new_max = jnp.max(out, axis=(-2, -1), keepdims=True)
+    return out * orig_max / new_max
+
+
+def taylor_refine(log_heatmaps: jnp.ndarray, coords: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Vectorized DARK 'unbiased' refinement (reference
+    top_down_eval.py:317-351): one Newton step on the log-space heatmap
+    around each argmax — finite-difference gradient and Hessian, explicit
+    2x2 inverse — gated to interior peaks (1 < p < size-2) with an
+    invertible Hessian."""
+    N, K, H, W = log_heatmaps.shape
+    flat = log_heatmaps.reshape(N, K, H * W)
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def at(yy, xx):
+        idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+        return jnp.take_along_axis(flat, idx[..., None], axis=2)[..., 0]
+
+    dx = 0.5 * (at(py, px + 1) - at(py, px - 1))
+    dy = 0.5 * (at(py + 1, px) - at(py - 1, px))
+    dxx = 0.25 * (at(py, px + 2) - 2.0 * at(py, px) + at(py, px - 2))
+    dxy = 0.25 * (at(py + 1, px + 1) - at(py - 1, px + 1)
+                  - at(py + 1, px - 1) + at(py - 1, px - 1))
+    dyy = 0.25 * (at(py + 2, px) - 2.0 * at(py, px) + at(py - 2, px))
+    det = dxx * dyy - dxy * dxy
+    ok = ((px > 1) & (px < W - 2) & (py > 1) & (py < H - 2) & (det != 0))
+    safe = jnp.where(det == 0, 1.0, det)
+    off_x = -(dyy * dx - dxy * dy) / safe
+    off_y = -(dxx * dy - dxy * dx) / safe
+    off = jnp.stack([off_x, off_y], axis=-1) * ok[..., None]
+    return coords + off
+
+
+def keypoints_from_heatmaps(heatmaps: jnp.ndarray, center: jnp.ndarray,
+                            scale: jnp.ndarray, *,
+                            post_process: Optional[str] = "default",
+                            unbiased: bool = False, kernel: int = 11,
+                            use_udp: bool = False,
+                            use_pallas: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """mmpose-compatible decode front door (reference
+    top_down_eval.py:493-641): dispatches UDP / 'unbiased' (DARK Taylor) /
+    'default' (+/-0.25 shift) / 'megvii' (blurred maps, +0.5 shift,
+    rescaled scores) / None (raw argmax), then maps to image space.
+
+    GaussianHeatmap targets only: the reference's CombinedTarget branch is
+    never reached by its pipeline (all its heads emit Gaussian heatmaps),
+    so it is deliberately not ported.
+    """
+    if unbiased:
+        post_process = "unbiased"
+    if use_udp:
+        assert post_process != "megvii", "megvii is a non-UDP post-process"
+        return keypoints_from_heatmaps_udp(heatmaps, center, scale,
+                                           kernel=kernel,
+                                           use_pallas=use_pallas)
+    N, K, H, W = heatmaps.shape
+    if post_process == "megvii":
+        heatmaps = modulate_gaussian_blur(heatmaps, kernel)
+    if post_process == "unbiased":
+        preds, maxvals = get_max_preds(heatmaps)
+        logm = jnp.log(jnp.maximum(modulate_gaussian_blur(heatmaps, kernel),
+                                   1e-10))
+        preds = taylor_refine(logm, preds)
+    elif post_process is None:
+        preds, maxvals = get_max_preds(heatmaps)
+    else:  # 'default' / 'megvii': +/-0.25 toward the gradient
+        preds, maxvals = default_shift_decode(heatmaps)
+        if post_process == "megvii":
+            preds = preds + 0.5
+    preds = transform_preds(preds, center, scale, (W, H), use_udp=False)
+    if post_process == "megvii":
+        maxvals = maxvals / 255.0 + 0.5
+    return preds, maxvals
+
+
+def keypoints_from_heatmaps3d(heatmaps: jnp.ndarray, center: jnp.ndarray,
+                              scale: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3D argmax decode + image-space transform of the xy plane
+    (reference top_down_eval.py:644-674); z stays in heatmap depth units."""
+    N, K, D, H, W = heatmaps.shape
+    preds, maxvals = get_max_preds_3d(heatmaps)
+    xy = transform_preds(preds[..., :2], center, scale, (W, H),
+                         use_udp=False)
+    return jnp.concatenate([xy, preds[..., 2:]], axis=-1), maxvals

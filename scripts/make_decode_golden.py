@@ -18,7 +18,8 @@ for name in ("torchvision", "torchvision.transforms", "matplotlib",
     sys.modules.setdefault(name, types.ModuleType(name))
 sys.path.insert(0, "/root/reference/easy_ViTPose")
 from vit_utils.top_down_eval import (  # noqa: E402
-    keypoints_from_heatmaps, _get_max_preds, post_dark_udp)
+    keypoints_from_heatmaps, keypoints_from_heatmaps3d,
+    multilabel_classification_accuracy, _get_max_preds, post_dark_udp)
 
 OUT = "/root/repo/tests/golden/decode_golden.npz"
 
@@ -54,12 +55,52 @@ def main():
     preds_udp_k17 = post_dark_udp(_get_max_preds(hm.copy())[0][..., :2],
                                   hm.copy(), kernel=17)
 
+    # non-UDP post-processing family (round-3 additions)
+    pp = {}
+    pp["unbiased"] = keypoints_from_heatmaps(
+        hm.copy(), centers.copy(), scales.copy(),
+        post_process="unbiased", kernel=11, use_udp=False)
+    pp["default"] = keypoints_from_heatmaps(
+        hm.copy(), centers.copy(), scales.copy(),
+        post_process="default", use_udp=False)
+    pp["megvii"] = keypoints_from_heatmaps(
+        hm.copy(), centers.copy(), scales.copy(),
+        post_process="megvii", kernel=11, use_udp=False)
+    pp["none"] = keypoints_from_heatmaps(
+        hm.copy(), centers.copy(), scales.copy(),
+        post_process=None, use_udp=False)
+
+    # 3d decode
+    rng3 = np.random.default_rng(7)
+    N3, K3, D3, H3, W3 = 3, 5, 8, 16, 12
+    hm3 = rng3.normal(0, 1, (N3, K3, D3, H3, W3)).astype(np.float32)
+    hm3[0, 1] = -np.abs(hm3[0, 1]) - 0.1  # maxval<=0 -> -1 rule
+    c3 = rng3.uniform(40, 400, size=(N3, 2)).astype(np.float32).round()
+    s3 = rng3.uniform(80, 500, size=(N3, 2)).astype(np.float32).round()
+    preds3d, maxvals3d = keypoints_from_heatmaps3d(hm3.copy(), c3, s3)
+
+    # multi-label classification accuracy (scalar oracles)
+    ml_pred = rng3.uniform(0, 1, (10, 4)).astype(np.float32)
+    ml_gt = (rng3.uniform(0, 1, (10, 4)) > 0.5).astype(np.float32)
+    ml_mask2 = (rng3.uniform(0, 1, (10, 4)) > 0.2).astype(np.float32)
+    ml_mask1 = (rng3.uniform(0, 1, (10,)) > 0.2).astype(np.float32)
+    ml_acc2 = multilabel_classification_accuracy(ml_pred, ml_gt, ml_mask2)
+    ml_acc1 = multilabel_classification_accuracy(ml_pred, ml_gt, ml_mask1)
+
     np.savez_compressed(
         OUT,
         heatmaps=hm, centers=centers, scales=scales,
         preds_argmax=preds_argmax, maxvals=maxvals,
         preds_udp=preds_udp, preds_udp_k17=preds_udp_k17,
-        preds_full=preds_full, maxvals_full=maxvals_full)
+        preds_full=preds_full, maxvals_full=maxvals_full,
+        preds_unbiased=pp["unbiased"][0], maxvals_unbiased=pp["unbiased"][1],
+        preds_default=pp["default"][0], maxvals_default=pp["default"][1],
+        preds_megvii=pp["megvii"][0], maxvals_megvii=pp["megvii"][1],
+        preds_none=pp["none"][0], maxvals_none=pp["none"][1],
+        heatmaps3d=hm3, centers3d=c3, scales3d=s3,
+        preds3d=preds3d, maxvals3d=maxvals3d,
+        ml_pred=ml_pred, ml_gt=ml_gt, ml_mask2=ml_mask2, ml_mask1=ml_mask1,
+        ml_acc2=np.float64(ml_acc2), ml_acc1=np.float64(ml_acc1))
     print("wrote", OUT)
 
 

@@ -91,3 +91,69 @@ def test_pallas_decode_end_to_end(g):
     finally:
         PK.udp_modulate_pallas = orig
     np.testing.assert_allclose(np.asarray(preds), g["preds_full"], atol=0.1)
+
+
+@pytest.mark.parametrize("pp", ["unbiased", "default", "megvii", "none"])
+def test_keypoints_from_heatmaps_post_process_family(g, pp):
+    """The non-UDP post-processing family (reference
+    top_down_eval.py:493-641): 'unbiased' DARK Taylor step, 'default'
+    +/-0.25 shift, 'megvii' (blurred maps, +0.5, rescaled scores), and
+    raw argmax — all vs the reference oracle."""
+    preds, maxvals = decode.keypoints_from_heatmaps(
+        g["heatmaps"], g["centers"], g["scales"],
+        post_process=None if pp == "none" else pp,
+        kernel=11, use_udp=False)
+    preds, want = np.asarray(preds), np.asarray(g[f"preds_{pp}"])
+    if pp == "megvii":
+        # the all-negative map [0,3]: megvii's origin_max/new_max rescale
+        # divides two near-zero negatives, so float noise moves the argmax
+        # of an almost-flat map — numerically degenerate, excluded
+        preds = np.delete(preds.reshape(-1, 2), 3, axis=0)
+        want = np.delete(want.reshape(-1, 2), 3, axis=0)
+    np.testing.assert_allclose(preds, want, rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(maxvals), g[f"maxvals_{pp}"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unbiased_alias_kwarg(g):
+    """unbiased=True must route to the 'unbiased' post-process (the
+    reference's deprecated-kwarg path)."""
+    a = decode.keypoints_from_heatmaps(
+        g["heatmaps"], g["centers"], g["scales"], unbiased=True,
+        kernel=11, use_udp=False)[0]
+    b = decode.keypoints_from_heatmaps(
+        g["heatmaps"], g["centers"], g["scales"], post_process="unbiased",
+        kernel=11, use_udp=False)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_keypoints_from_heatmaps_udp_dispatch(g):
+    """use_udp=True through the front door equals the dedicated UDP path
+    (what VitInference.postprocess uses)."""
+    a = decode.keypoints_from_heatmaps(
+        g["heatmaps"], g["centers"], g["scales"], use_udp=True, kernel=11)
+    np.testing.assert_allclose(np.asarray(a[0]), g["preds_full"],
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_keypoints_from_heatmaps3d_matches_reference(g):
+    preds, maxvals = decode.keypoints_from_heatmaps3d(
+        g["heatmaps3d"], g["centers3d"], g["scales3d"])
+    np.testing.assert_allclose(np.asarray(preds), g["preds3d"],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(maxvals), g["maxvals3d"],
+                               rtol=0, atol=0)
+
+
+def test_multilabel_classification_accuracy_matches_reference(g):
+    from easy_vitpose_tpu.eval.metrics import (
+        multilabel_classification_accuracy)
+    got2 = multilabel_classification_accuracy(g["ml_pred"], g["ml_gt"],
+                                              g["ml_mask2"])
+    got1 = multilabel_classification_accuracy(g["ml_pred"], g["ml_gt"],
+                                              g["ml_mask1"])
+    assert got2 == pytest.approx(float(g["ml_acc2"]), abs=1e-12)
+    assert got1 == pytest.approx(float(g["ml_acc1"]), abs=1e-12)
+    # no valid samples -> 0.0 (reference behavior)
+    assert multilabel_classification_accuracy(
+        g["ml_pred"], g["ml_gt"], np.zeros_like(g["ml_mask1"])) == 0.0
