@@ -115,13 +115,53 @@ def warp_affine_joints(joints: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return out.reshape(shape)
 
 
-def flip_back_heatmaps(heatmaps, flip_pairs: Sequence[Sequence[int]]):
+def flip_back_heatmaps(heatmaps, flip_pairs: Sequence[Sequence[int]],
+                       target_type: str = "GaussianHeatmap"):
     """Un-flip heatmaps from a horizontally flipped input: swap L/R channels
-    then mirror width (reference post_transforms.py:110-147).  jnp-safe."""
+    then mirror width (reference post_transforms.py:110-147).  jnp-safe.
+
+    ``target_type='CombinedTarget'``: channels come in (heat, off_x, off_y)
+    triples per joint — the x-offset channel is negated and the swap
+    permutes whole triples."""
     import jax.numpy as jnp
     K = heatmaps.shape[1]
+    if target_type.lower() == "combinedtarget":
+        sign = jnp.asarray([1.0, -1.0, 1.0] * (K // 3),
+                           heatmaps.dtype)[None, :, None, None]
+        heatmaps = heatmaps * sign
+        perm = []
+        joints = list(range(K // 3))
+        for a, b in flip_pairs:
+            joints[a], joints[b] = joints[b], joints[a]
+        for j in joints:
+            perm.extend((3 * j, 3 * j + 1, 3 * j + 2))
+    else:
+        perm = list(range(K))
+        for a, b in flip_pairs:
+            perm[a], perm[b] = perm[b], perm[a]
+    out = heatmaps[:, jnp.asarray(perm)]
+    return out[..., ::-1]
+
+
+def fliplr_regression(regression, flip_pairs: Sequence[Sequence[int]],
+                      center_mode: str = "static", center_x: float = 0.5,
+                      center_index: int = 0):
+    """Flip regression-decoded joints horizontally (reference
+    post_processing/post_transforms.py:54-107): swap mirrored pairs, then
+    reflect x around a static center or a root joint's x.  jnp-safe over
+    any leading batch axes ([..., K, C])."""
+    import jax.numpy as jnp
+    reg = jnp.asarray(regression)
+    if center_mode == "static":
+        x_c = center_x
+    elif center_mode == "root":
+        x_c = reg[..., center_index:center_index + 1, 0]
+    else:
+        raise ValueError(f"center_mode {center_mode!r} not in "
+                         "{'static', 'root'}")
+    K = reg.shape[-2]
     perm = list(range(K))
     for a, b in flip_pairs:
         perm[a], perm[b] = perm[b], perm[a]
-    out = heatmaps[:, jnp.asarray(perm)]
-    return out[..., ::-1]
+    out = reg[..., jnp.asarray(perm), :]
+    return out.at[..., 0].set(x_c * 2 - out[..., 0])

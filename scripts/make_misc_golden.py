@@ -17,6 +17,8 @@ from vit_utils.top_down_eval import (  # noqa: E402
     pose_pck_accuracy)
 from vit_utils.post_processing.nms import (  # noqa: E402
     nms, oks_iou, oks_nms, soft_oks_nms)
+from vit_utils.post_processing.post_transforms import (  # noqa: E402
+    flip_back, fliplr_regression)
 
 
 def main():
@@ -58,6 +60,20 @@ def main():
     keep_hard = oks_nms([dict(k) for k in kpts_db], 0.5)
     keep_soft = soft_oks_nms([dict(k) for k in kpts_db], 0.5, max_dets=6)
 
+    # flip-family fixtures (round-3 additions)
+    FP = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12], [13, 14],
+          [15, 16]]
+    reg = rng.uniform(-1, 2, (4, K, 3)).astype(np.float32)
+    reg_static = fliplr_regression(reg.copy(), FP, center_mode="static",
+                                   center_x=0.5)
+    reg_root = fliplr_regression(reg.copy(), FP, center_mode="root",
+                                 center_index=0)
+    K3 = 6  # CombinedTarget: 6 joints x 3 channels
+    FP3 = [[1, 2], [4, 5]]
+    hm_comb = rng.normal(0, 1, (2, K3 * 3, 16, 12)).astype(np.float32)
+    comb_back = flip_back(hm_comb.copy(), FP3,
+                          target_type="CombinedTarget")
+
     dets = rng.uniform(0, 200, (20, 5)).astype(np.float32)
     dets[:, 2:4] = dets[:, 0:2] + rng.uniform(10, 80, (20, 2))
     keep_bbox = nms(dets.copy(), 0.4)
@@ -67,6 +83,8 @@ def main():
         pred=pred, gt=gt, mask=mask, normalize=normalize,
         pck_acc=acc, pck_avg=avg, pck_cnt=cnt, auc=auc, nme=nme, epe=epe,
         hm_out=hm_out, hm_tgt=hm_tgt, p_acc=p_acc, p_avg=p_avg, p_cnt=p_cnt,
+        reg=reg, reg_static=reg_static, reg_root=reg_root,
+        hm_comb=hm_comb, comb_back=comb_back,
         oks_g=g, oks_d=d, oks_ag=a_g, oks_ad=a_d,
         ious_plain=ious_plain, ious_vis=ious_vis,
         kpts_db_kp=np.array([k["keypoints"] for k in kpts_db]),

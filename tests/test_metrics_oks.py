@@ -77,3 +77,30 @@ def test_native_nms_matches_numpy(g):
         np.testing.assert_array_equal(keep_c, keep_np)
     else:  # fallback path must still agree
         np.testing.assert_array_equal(keep_c, keep_np)
+
+
+def test_fliplr_regression_matches_reference():
+    """fliplr_regression static + root modes vs the reference oracle
+    (post_processing/post_transforms.py:54-107)."""
+    import numpy as np
+    from easy_vitpose_tpu.ops.affine import fliplr_regression
+    g = np.load(GOLDEN)
+    FP = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12], [13, 14],
+          [15, 16]]
+    got_s = np.asarray(fliplr_regression(g["reg"], FP, center_mode="static",
+                                         center_x=0.5))
+    np.testing.assert_allclose(got_s, g["reg_static"], rtol=1e-6, atol=1e-6)
+    got_r = np.asarray(fliplr_regression(g["reg"], FP, center_mode="root",
+                                         center_index=0))
+    np.testing.assert_allclose(got_r, g["reg_root"], rtol=1e-6, atol=1e-6)
+
+
+def test_flip_back_combined_target_matches_reference():
+    """CombinedTarget flip_back: x-offset channels negated, joint triples
+    swapped, width mirrored (post_transforms.py:110-147)."""
+    import numpy as np
+    from easy_vitpose_tpu.ops.affine import flip_back_heatmaps
+    g = np.load(GOLDEN)
+    got = np.asarray(flip_back_heatmaps(g["hm_comb"], [[1, 2], [4, 5]],
+                                        target_type="CombinedTarget"))
+    np.testing.assert_allclose(got, g["comb_back"], rtol=1e-6, atol=1e-6)

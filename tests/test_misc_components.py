@@ -108,3 +108,4 @@ def test_logging_and_profiling():
         pass
     assert "a" in st.summary()
     assert st.report()
+
