@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--ab-opt", action="store_true",
                     help="interleave fused-opt (A) against the optax "
                          "chain (B) in one process")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for the train state (0=off) — measures "
+                         "the shadow-weight HBM-pass overhead")
     ap.add_argument("--grad-check", action="store_true",
                     help="before timing, check fused-block grads vs the "
                          "XLA block ON THIS BACKEND (catches TPU-only "
@@ -214,9 +217,9 @@ def main():
         tx = make_fused_adam(5e-4)
     else:
         tx = make_optimizer(5e-4)
-    state = init_train_state(params, tx)
+    state = init_train_state(params, tx, ema_decay=args.ema)
     step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
-                                   remat=args.remat,
+                                   remat=args.remat, ema_decay=args.ema,
                                    block_impl="pallas_train" if args.fused
                                    else "xla"),
                    donate_argnums=(0,))
