@@ -183,7 +183,18 @@ def _gt_crops_batched(args):
             h = 0.5 * (h + flip_back_heatmaps(hf, fp))
         return h
 
-    fwd = jax.jit(_fwd)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.gt_crops_batched % n_dev == 0:
+        # data-parallel eval: crops 'data'-sharded over the local mesh,
+        # params replicated (multi-chip val runs at aggregate throughput)
+        from ..parallel import mesh as meshlib
+        mesh = meshlib.make_mesh()
+        fwd = jax.jit(_fwd,
+                      in_shardings=(meshlib.replicated(mesh),
+                                    meshlib.batch_sharded(mesh)),
+                      out_shardings=meshlib.batch_sharded(mesh))
+    else:
+        fwd = jax.jit(_fwd)
 
     ds = CocoPoseDataset(
         root_path=os.path.dirname(args.imgdir.rstrip("/")) or ".",

@@ -150,3 +150,52 @@ def test_gt_crops_batched_flip_test_consistency(tmp_path):
     with open(out) as f:
         results = json.load(f)
     assert len(results) == 1 and np.isfinite(results[0]["score"])
+
+
+def test_gt_crops_batched_data_parallel(tmp_path):
+    """batch % n_devices == 0 routes the batched eval through the sharded
+    forward (params replicated, crops 'data'-sharded over the 8-virtual-
+    device mesh) and produces the same detections as implied single-device
+    decode semantics (count + finite scores)."""
+    import jax
+    from easy_vitpose_tpu.cli.eval_coco import main
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    assert len(jax.devices()) == 8
+    ckpt = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(ckpt, init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    imgdir = tmp_path / "val"
+    imgdir.mkdir()
+    rng = np.random.default_rng(3)
+    images, annotations = [], []
+    for i in range(10):
+        img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(str(imgdir / name), img)
+        images.append({"id": i, "file_name": name, "width": 320,
+                       "height": 240})
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.uniform(60, 260, 17)
+        kp[:, 1] = rng.uniform(40, 200, 17)
+        kp[:, 2] = 2
+        x0, y0 = float(kp[:, 0].min()), float(kp[:, 1].min())
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "keypoints": kp.ravel().tolist(), "num_keypoints": 17,
+            "bbox": [x0, y0, 120.0, 160.0], "area": 19200.0, "iscrowd": 0})
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    out = str(tmp_path / "results.json")
+    # batch 8 == n_devices -> sharded path; 10 instances -> padded tail
+    stats = main(["--ann", ann, "--imgdir", str(imgdir), "--model", ckpt,
+                  "--model-name", "s", "--gt-crops-batched", "8",
+                  "--dtype", "fp32", "--out", out])
+    assert set(stats) >= {"AP", "AR"}
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 10
+    assert all(np.isfinite(r["score"]) for r in results)
