@@ -153,7 +153,16 @@ def _gt_crops_batched(args):
     from ..train.dataset import PIXEL_STD, CocoPoseDataset, batch_iterator
     from ..utils.checkpoint import load_params
 
-    dataset = args.dataset or "coco"
+    dataset = args.dataset
+    if dataset is None:
+        # same filename-inference UX as the pipeline path
+        from ..configs import infer_dataset_by_path
+        try:
+            dataset = infer_dataset_by_path(args.model)
+        except ValueError:
+            dataset = None
+        if dataset not in NUM_KEYPOINTS:
+            dataset = "coco"
     K = NUM_KEYPOINTS[dataset]
     cfgm = get_model_config(dataset, args.model_name)
     params = load_params(args.model)
@@ -200,6 +209,8 @@ def _gt_crops_batched(args):
         root_path=os.path.dirname(args.imgdir.rstrip("/")) or ".",
         data_version=os.path.basename(args.imgdir.rstrip("/")),
         ann_file=args.ann, is_train=False, num_joints=K)
+    if args.limit:
+        ds.data = ds.data[:args.limit]  # --limit counts gt instances here
     B = args.gt_crops_batched
     results = []
     t0 = time.perf_counter()

@@ -246,7 +246,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         ap_due = bool(settings.eval_ap_interval and val_ds is not None
                       and (epoch + 1) % settings.eval_ap_interval == 0
                       and getattr(val_ds, "ann_file", None)
-                      and cfg.head.num_keypoints == 17)
+                      and cfg.head.num_keypoints == 17
+                      # K=17 alone would admit the 17-joint ANIMAL datasets
+                      # (ap10k/apt36k) to COCO-sigma person scoring
+                      and getattr(val_ds, "category_id", 1) == 1)
         ap_results = []
         if val_ds is not None and len(val_ds):
             from ..eval.metrics import pose_pck_accuracy
