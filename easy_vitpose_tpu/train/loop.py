@@ -150,7 +150,19 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     start_epoch = 0
     if settings.resume_state_dir:
         from .orbax_ckpt import restore_train_state
-        state = restore_train_state(settings.resume_state_dir, template=state)
+        try:
+            state = restore_train_state(settings.resume_state_dir,
+                                        template=state)
+        except Exception:
+            if not settings.ema_decay:
+                raise
+            # checkpoint predates --ema-decay: restore without the shadow
+            # tree, then seed the EMA from the restored params
+            tmpl = {k: v for k, v in state.items() if k != "ema_params"}
+            state = restore_train_state(settings.resume_state_dir,
+                                        template=tmpl)
+            state["ema_params"] = jax.tree.map(np.array, state["params"])
+            log("resume: pre-EMA checkpoint — EMA seeded from params")
         start_epoch = int(state["step"]) // steps_per_epoch
         log(f"resumed full train state from {settings.resume_state_dir} "
             f"(step {int(state['step'])} -> epoch {start_epoch})")

@@ -268,3 +268,27 @@ def test_workers_augmentation_diversity(coco_dir):
                                    seed=5, workers=2))
     np.testing.assert_array_equal(
         imgs, np.concatenate([b["images"] for b in batches2]))
+
+
+def test_resume_pre_ema_checkpoint_with_ema_enabled(coco_dir, tmp_path):
+    """Enabling --ema-decay on resume from a pre-EMA orbax state must seed
+    the shadow weights from the restored params instead of failing the
+    orbax structure match."""
+    from easy_vitpose_tpu.train import step as steplib
+    from easy_vitpose_tpu.train.orbax_ckpt import save_train_state
+
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    tx = steplib.make_optimizer(1e-3)
+    old = steplib.init_train_state(params, tx)          # no ema_params
+    state_dir = str(tmp_path / "pre_ema_state")
+    save_train_state(state_dir, old)
+
+    settings = TrainSettings(lr=1e-3, total_epochs=1, batch_size=8,
+                             use_amp=False, save_interval=0,
+                             ckpt_topk_epoch=0, ema_decay=0.9,
+                             resume_state_dir=state_dir,
+                             work_dir=str(tmp_path / "run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    out = train_model(params, cfg, ds, None, settings, log=lambda s: None)
+    assert np.isfinite(out["history"][0]["train_loss"])
