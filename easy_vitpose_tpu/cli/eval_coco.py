@@ -25,7 +25,7 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def main(argv=None):
+def main(argv=None, model_cfg=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ann", required=True, help="COCO keypoint ann json")
     p.add_argument("--imgdir", required=True)
@@ -81,7 +81,7 @@ def main(argv=None):
                 [x, y, x + w, y + h, 1.0])
 
     if args.gt_crops_batched:
-        results = _gt_crops_batched(args)
+        results = _gt_crops_batched(args, model_cfg=model_cfg)
         return _score(args, gt, results)
 
     dataset = args.dataset
@@ -134,7 +134,7 @@ def main(argv=None):
     return _score(args, gt, results)
 
 
-def _gt_crops_batched(args):
+def _gt_crops_batched(args, model_cfg=None):
     """Batched gt-crop evaluation: dataset-style affine crops -> fixed-slot
     jitted forward -> UDP decode -> COCO results.
 
@@ -164,7 +164,7 @@ def _gt_crops_batched(args):
         if dataset not in NUM_KEYPOINTS:
             dataset = "coco"
     K = NUM_KEYPOINTS[dataset]
-    cfgm = get_model_config(dataset, args.model_name)
+    cfgm = model_cfg or get_model_config(dataset, args.model_name)
     params = load_params(args.model)
     impl = default_block_impl(
         compute_dtype=jnp.float32 if args.dtype == "fp32"

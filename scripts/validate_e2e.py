@@ -121,7 +121,22 @@ def main(epochs: int = 400, ap_gate: float = 0.5):
     print(f"AP = {stats['AP']:.3f}   AP@.50 = {stats['AP .5']:.3f}")
     assert stats["AP .5"] > 0.95, "pipeline geometry inconsistency!"
     assert stats["AP"] > ap_gate
-    print("E2E GEOMETRY VALIDATION PASSED")
+
+    # the batched gt-crop eval lane (cli/eval_coco --gt-crops-batched) uses
+    # the dataset's own crop geometry, so on a memorized model it must score
+    # at least as well as the pipeline lane above
+    from easy_vitpose_tpu.cli import eval_coco as ec
+    bstats = ec.main([
+        "--ann", f"{root}/annotations/person_keypoints_train2017.json",
+        "--imgdir", f"{root}/train2017", "--model", ckpt,
+        "--model-name", "s", "--dataset", "coco",
+        "--gt-crops-batched", "3", "--dtype", "fp32",
+        "--out", f"{root}/results_batched.json"], model_cfg=TINY)
+    print(f"batched-lane AP = {bstats['AP']:.3f}   "
+          f"AP@.50 = {bstats['AP .5']:.3f}")
+    assert bstats["AP .5"] > 0.95, "batched-lane geometry inconsistency!"
+    assert bstats["AP"] >= stats["AP"] - 0.05
+    print("E2E GEOMETRY VALIDATION PASSED (pipeline + batched lanes)")
 
 
 if __name__ == "__main__":
