@@ -154,6 +154,8 @@ def _gt_crops_batched(args, model_cfg=None):
     from ..utils.checkpoint import load_params
 
     dataset = args.dataset
+    if dataset is None and args.task is not None:
+        dataset = args.task  # a multi-task checkpoint's task IS its dataset
     if dataset is None:
         # same filename-inference UX as the pipeline path
         from ..configs import infer_dataset_by_path
@@ -166,6 +168,14 @@ def _gt_crops_batched(args, model_cfg=None):
     K = NUM_KEYPOINTS[dataset]
     cfgm = model_cfg or get_model_config(dataset, args.model_name)
     params = load_params(args.model)
+    # multi-task (ViTPose+) checkpoint: splice the task's expert + head
+    # into a single-task tree, same as VitInference
+    from ..convert.vitpose_plus import is_plus_params, select_task
+    if is_plus_params(params):
+        params = select_task(params, args.task or dataset)
+    elif args.task is not None:
+        raise SystemExit("--task requires a multi-task (ViTPose+) "
+                         "checkpoint from 'cli/convert plus'")
     impl = default_block_impl(
         compute_dtype=jnp.float32 if args.dtype == "fp32"
         else jnp.bfloat16)
@@ -192,17 +202,21 @@ def _gt_crops_batched(args, model_cfg=None):
             h = 0.5 * (h + flip_back_heatmaps(hf, fp))
         return h
 
+    # commit params to device(s) once — a host pytree would re-upload the
+    # whole model every batch through jit
     n_dev = len(jax.devices())
     if n_dev > 1 and args.gt_crops_batched % n_dev == 0:
         # data-parallel eval: crops 'data'-sharded over the local mesh,
         # params replicated (multi-chip val runs at aggregate throughput)
         from ..parallel import mesh as meshlib
         mesh = meshlib.make_mesh()
+        params = jax.device_put(params, meshlib.replicated(mesh))
         fwd = jax.jit(_fwd,
                       in_shardings=(meshlib.replicated(mesh),
                                     meshlib.batch_sharded(mesh)),
                       out_shardings=meshlib.batch_sharded(mesh))
     else:
+        params = jax.tree.map(jnp.asarray, params)
         fwd = jax.jit(_fwd)
 
     ds = CocoPoseDataset(

@@ -200,9 +200,12 @@ def keypoints_from_regression(regression_preds: jnp.ndarray,
     return preds, maxvals
 
 
-def default_shift_decode(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def default_shift_decode(heatmaps: jnp.ndarray, return_gate: bool = False):
     """The non-UDP 'default' post-process: +/-0.25 toward the gradient
-    (reference top_down_eval.py:617-629), vectorized."""
+    (reference top_down_eval.py:617-629), vectorized.
+
+    ``return_gate`` additionally returns the interior-peak mask (N, K) f32
+    — the megvii post-process applies its +0.5 under the same gate."""
     N, K, H, W = heatmaps.shape
     preds, maxvals = get_max_preds(heatmaps)
     px = preds[..., 0].astype(jnp.int32)
@@ -217,7 +220,10 @@ def default_shift_decode(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     diff_y = at(py + 1, px) - at(py - 1, px)
     ok = ((px > 1) & (px < W - 1) & (py > 1) & (py < H - 1)).astype(jnp.float32)
     shift = jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1) * 0.25
-    return preds + shift * ok[..., None], maxvals
+    out = preds + shift * ok[..., None]
+    if return_gate:
+        return out, maxvals, ok
+    return out, maxvals
 
 
 def modulate_gaussian_blur(heatmaps: jnp.ndarray, kernel: int
@@ -303,9 +309,12 @@ def keypoints_from_heatmaps(heatmaps: jnp.ndarray, center: jnp.ndarray,
     elif post_process is None:
         preds, maxvals = get_max_preds(heatmaps)
     else:  # 'default' / 'megvii': +/-0.25 toward the gradient
-        preds, maxvals = default_shift_decode(heatmaps)
+        preds, maxvals, gate = default_shift_decode(heatmaps,
+                                                    return_gate=True)
         if post_process == "megvii":
-            preds = preds + 0.5
+            # the +0.5 sits inside the same interior-peak gate as the
+            # +/-0.25 shift (reference top_down_eval.py:624-631)
+            preds = preds + 0.5 * gate[..., None]
     preds = transform_preds(preds, center, scale, (W, H), use_udp=False)
     if post_process == "megvii":
         maxvals = maxvals / 255.0 + 0.5

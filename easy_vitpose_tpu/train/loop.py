@@ -153,11 +153,14 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         try:
             state = restore_train_state(settings.resume_state_dir,
                                         template=state)
-        except Exception:
-            if not settings.ema_decay:
+        except ValueError as e:
+            # only the specific "checkpoint predates --ema-decay" structure
+            # mismatch is recoverable; anything else (corrupt dir, optimizer
+            # switch) must surface with its real error
+            if not settings.ema_decay or "ema_params" not in str(e):
                 raise
-            # checkpoint predates --ema-decay: restore without the shadow
-            # tree, then seed the EMA from the restored params
+            # restore without the shadow tree, then seed the EMA from the
+            # restored params
             tmpl = {k: v for k, v in state.items() if k != "ema_params"}
             state = restore_train_state(settings.resume_state_dir,
                                         template=tmpl)
@@ -190,6 +193,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                              settings.lr_patience)
     rng = jax.random.PRNGKey(settings.seed)
     history = []
+    ap_gt = None  # parsed-once annotation json for in-loop AP
     best_val = float("inf")
     patience = 0
     loop_ctl_path = os.path.join(settings.work_dir, "loop_state.json")
@@ -258,10 +262,11 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         ap_due = bool(settings.eval_ap_interval and val_ds is not None
                       and (epoch + 1) % settings.eval_ap_interval == 0
                       and getattr(val_ds, "ann_file", None)
-                      and cfg.head.num_keypoints == 17
-                      # K=17 alone would admit the 17-joint ANIMAL datasets
-                      # (ap10k/apt36k) to COCO-sigma person scoring
-                      and getattr(val_ds, "category_id", 1) == 1)
+                      # must be the COCO person skeleton: K=17 alone would
+                      # admit the 17-joint ANIMAL datasets (ap10k/apt36k)
+                      # to COCO-sigma person scoring
+                      and cfg.dataset == "coco"
+                      and cfg.head.num_keypoints == 17)
         ap_results = []
         if val_ds is not None and len(val_ds):
             from ..eval.metrics import pose_pck_accuracy
@@ -314,12 +319,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             val_loss = float(np.mean(vlosses)) if vlosses else train_loss
             val_acc = acc_w / acc_n if acc_n else None
             if ap_due and ap_results:
-                import json as _json
                 from ..eval.cocoeval import CocoKeypointEval
-                with open(val_ds.ann_file) as f:
-                    gtj = _json.load(f)
+                if ap_gt is None:  # parse the annotation json once per run
+                    import json as _json
+                    with open(val_ds.ann_file) as f:
+                        ap_gt = _json.load(f)
                 val_ap = float(
-                    CocoKeypointEval(gtj, ap_results).accumulate()["AP"])
+                    CocoKeypointEval(ap_gt, ap_results).accumulate()["AP"])
 
         if settings.lr_policy == "step":
             # warmup/milestone schedule lives inside the optimizer (driven

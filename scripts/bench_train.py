@@ -61,6 +61,11 @@ def main():
                          "XLA block ON THIS BACKEND (catches TPU-only "
                          "pipelining bugs the CPU interpret tests cannot)")
     args = ap.parse_args()
+    if args.ema and any((args.ab, args.ab_wide, args.ab_attn, args.ab_mlp,
+                         args.ab_opt)):
+        # the B step is built without ema_decay — the pair would confound
+        # block/flavor deltas with the EMA pass
+        ap.error("--ema cannot be combined with --ab* modes")
 
     import jax
     import jax.numpy as jnp
