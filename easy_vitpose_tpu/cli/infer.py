@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto-tune yolo_step to hold this FPS on live/video "
                         "input (detection cadence is the elastic cost; the "
                         "tracker coasts between detections)")
+    p.add_argument("--trace", default="", metavar="LOGDIR",
+                   help="capture a TensorBoard-viewable jax.profiler device "
+                        "trace of the run into LOGDIR (utils/profiling.py; "
+                        "the reference has no profiler hooks at all)")
     return p
 
 
@@ -225,14 +229,23 @@ def run_one(args, input_path: str) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if os.path.isdir(args.input):
-        inputs = sorted(sum((glob(os.path.join(args.input, "*" + e))
-                             for e in VIDEO_EXTS + IMAGE_EXTS), []))
-        assert inputs, f"no media found in {args.input}"
-        for p in inputs:
-            run_one(args, p)
-    else:
-        run_one(args, args.input)
+    import contextlib
+
+    from ..utils.profiling import device_trace
+    trace = (device_trace(args.trace) if args.trace
+             else contextlib.nullcontext())
+    with trace:
+        if os.path.isdir(args.input):
+            inputs = sorted(sum((glob(os.path.join(args.input, "*" + e))
+                                 for e in VIDEO_EXTS + IMAGE_EXTS), []))
+            assert inputs, f"no media found in {args.input}"
+            for p in inputs:
+                run_one(args, p)
+        else:
+            run_one(args, args.input)
+    if args.trace:
+        print(f">>> device trace written to {args.trace} "
+              f"(view: tensorboard --logdir {args.trace})")
 
 
 if __name__ == "__main__":

@@ -186,3 +186,17 @@ def test_train_cli_end_to_end(tmp_path):
     with open(os.path.join(work, "history.json")) as f:
         hist = json.load(f)
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
+
+
+def test_infer_cli_trace(vits_ckpt, tmp_path):
+    """--trace captures a jax.profiler device trace directory."""
+    from easy_vitpose_tpu.cli.infer import main
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
+    ip = str(tmp_path / "img.png")
+    cv2.imwrite(ip, img)
+    trace_dir = str(tmp_path / "trace")
+    main(["--input", ip, "--model", vits_ckpt, "--model-name", "s",
+          "--dtype", "fp32", "--trace", trace_dir])
+    import glob as _glob
+    files = _glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
+    assert files, "no trace artifacts written"
