@@ -56,6 +56,10 @@ def main(argv=None, model_cfg=None):
     p.add_argument("--oks-thr", type=float, default=0.9)
     p.add_argument("--task", default=None,
                    help="task head for multi-task (ViTPose+) checkpoints")
+    p.add_argument("--per-keypoint", action="store_true",
+                   help="with --gt-crops-batched: also print a per-keypoint "
+                        "PCK@0.05 table (bbox-normalized, matched 1:1 to "
+                        "each gt instance) with skeleton joint names")
     p.add_argument("--flip-test", action="store_true",
                    help="flip-test averaging (mmpose eval protocol: also "
                         "forward the mirrored crop, un-flip, average; the "
@@ -165,6 +169,7 @@ def _gt_crops_batched(args, model_cfg=None):
             dataset = None
         if dataset not in NUM_KEYPOINTS:
             dataset = "coco"
+    args.dataset = dataset  # resolved name (for the per-keypoint report)
     K = NUM_KEYPOINTS[dataset]
     cfgm = model_cfg or get_model_config(dataset, args.model_name)
     params = load_params(args.model)
@@ -246,7 +251,8 @@ def _gt_crops_batched(args, model_cfg=None):
             results.append({
                 "image_id": int(m["imgId"]), "category_id": 1,
                 "keypoints": [round(float(v), 2) for v in flat],
-                "score": float(maxv[i].mean())})
+                "score": float(maxv[i].mean()),
+                "ann_id": int(m["annId"])})  # extra key; COCOeval ignores
         done += n
         if done % (20 * B) < B:
             rate = done / (time.perf_counter() - t0)
@@ -256,8 +262,51 @@ def _gt_crops_batched(args, model_cfg=None):
     return results
 
 
+def _per_keypoint_report(args, gt, results):
+    """Per-keypoint PCK@0.05 over gt-matched instances (mmpose-style
+    breakdown the reference never reports); distances normalized by each
+    instance's gt bbox (w, h)."""
+    from ..eval.metrics import keypoint_pck_accuracy
+    anns = {a.get("id", -1): a for a in gt.get("annotations", [])}
+    pred_list, gt_list, mask_list, norm_list = [], [], [], []
+    for r in results:
+        a = anns.get(r.get("ann_id"))
+        if a is None:
+            continue
+        pk = np.asarray(r["keypoints"], np.float32).reshape(-1, 3)
+        gk = np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
+        if len(pk) != len(gk):
+            continue
+        pred_list.append(pk[:, :2])
+        gt_list.append(gk[:, :2])
+        mask_list.append(gk[:, 2] > 0)
+        norm_list.append(np.asarray(a["bbox"][2:4], np.float32))
+    if not pred_list:
+        return
+    acc, avg, cnt = keypoint_pck_accuracy(
+        np.stack(pred_list), np.stack(gt_list), np.stack(mask_list),
+        0.05, np.stack(norm_list))
+    names = None
+    try:
+        from ..skeletons import keypoint_names
+        ds_name = args.dataset
+        if ds_name and len(keypoint_names(ds_name)) == len(acc):
+            names = keypoint_names(ds_name)
+    except Exception:
+        pass
+    print(f"per-keypoint PCK@0.05 (bbox-normalized, "
+          f"{len(pred_list)} instances, {cnt} keypoint types):")
+    for k, a in enumerate(acc):
+        label = names[k] if names else f"kpt_{k}"
+        val = "   n/a" if a < 0 else f"{a:6.3f}"
+        print(f"  {label:24s} {val}")
+    print(f"  {'mean':24s} {avg:6.3f}")
+
+
 def _score(args, gt, results):
     """Optional OKS-NMS, results file, and AP summary (shared tail)."""
+    if getattr(args, "per_keypoint", False):
+        _per_keypoint_report(args, gt, results)
     if args.oks_nms != "none" and results:
         from collections import defaultdict
         from ..ops.oks import oks_nms, soft_oks_nms
