@@ -35,6 +35,12 @@ def main(argv=None):
     pp.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
     pp.add_argument("--out", required=True)
 
+    pa = sub.add_parser("average", help="uniform weight averaging (model "
+                        "soup) of N same-shape .npz checkpoints — e.g. the "
+                        "top-k epoch snapshots of one run")
+    pa.add_argument("--ckpts", nargs="+", required=True)
+    pa.add_argument("--out", required=True)
+
     ps = sub.add_parser("split", help="split a ViTPose+ MoE checkpoint into "
                         "per-dataset single-head .npz checkpoints "
                         "(reference model_split.py equivalent)")
@@ -44,6 +50,32 @@ def main(argv=None):
     ps.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
 
     args = p.parse_args(argv)
+    if args.cmd == "average":
+        import jax
+        import numpy as np
+
+        from ..utils.checkpoint import load_params, save_params
+        trees = [load_params(c) for c in args.ckpts]
+        ref_struct = jax.tree_util.tree_structure(trees[0])
+        ref_shapes = [np.asarray(l).shape
+                      for l in jax.tree_util.tree_leaves(trees[0])]
+        for c, t in zip(args.ckpts[1:], trees[1:]):
+            if jax.tree_util.tree_structure(t) != ref_struct or                     [np.asarray(l).shape
+                     for l in jax.tree_util.tree_leaves(t)] != ref_shapes:
+                raise SystemExit(f"{c}: checkpoint structure differs from "
+                                 f"{args.ckpts[0]}")
+        n = len(trees)
+        def avg_leaf(*leaves):
+            a0 = np.asarray(leaves[0])
+            if not np.issubdtype(a0.dtype, np.floating):
+                return a0  # int buffers (e.g. step counters) keep the first
+            acc = sum(np.asarray(l, np.float64) for l in leaves) / n
+            return acc.astype(a0.dtype)
+
+        avg = jax.tree.map(avg_leaf, *trees)
+        save_params(args.out, avg)
+        print(f"wrote {args.out} (uniform average of {n} checkpoints)")
+        return
     if args.cmd == "plus":
         import torch
         from ..convert.vitpose_plus import convert_vitpose_plus_state_dict

@@ -74,3 +74,43 @@ def test_convert_cli_pth_to_npz(tmp_path):
     y = vitpose_forward(jax.tree.map(jnp.asarray, params),
                         jnp.zeros((1, 256, 192, 3)), cfg)
     assert y.shape == (1, 17, 64, 48)
+
+
+def test_convert_average_model_soup(tmp_path):
+    """'convert average' writes the uniform mean of same-shape checkpoints
+    and rejects structure mismatches."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from easy_vitpose_tpu.cli.convert import main
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = get_model_config("coco", "s")
+    a = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    b = init_vitpose_params(jax.random.PRNGKey(1), cfg)
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_params(pa, a)
+    save_params(pb, b)
+    out = str(tmp_path / "soup.npz")
+    main(["average", "--ckpts", pa, pb, "--out", out])
+    soup = load_params(out)
+    la = jax.tree.leaves(load_params(pa))
+    lb = jax.tree.leaves(load_params(pb))
+    for s_, x, y in zip(jax.tree.leaves(soup), la, lb):
+        if np.issubdtype(np.asarray(s_).dtype, np.floating):
+            np.testing.assert_allclose(
+                np.asarray(s_), (np.asarray(x, np.float64)
+                                 + np.asarray(y, np.float64)) / 2,
+                rtol=1e-6, atol=1e-7)
+
+    # structure mismatch -> explicit error
+    import dataclasses
+    cfg25 = dataclasses.replace(
+        cfg, head=dataclasses.replace(cfg.head, num_keypoints=25))
+    pc = str(tmp_path / "c.npz")
+    save_params(pc, init_vitpose_params(jax.random.PRNGKey(2), cfg25))
+    with pytest.raises(SystemExit):
+        main(["average", "--ckpts", pa, pc, "--out", out])
