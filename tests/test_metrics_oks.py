@@ -104,3 +104,35 @@ def test_flip_back_combined_target_matches_reference():
     got = np.asarray(flip_back_heatmaps(g["hm_comb"], [[1, 2], [4, 5]],
                                         target_type="CombinedTarget"))
     np.testing.assert_allclose(got, g["comb_back"], rtol=1e-6, atol=1e-6)
+
+
+def test_fliplr_regression_involution():
+    """Flipping twice (same static center) is the identity; root mode is
+    also an involution because the root's x maps to itself."""
+    import numpy as np
+    from easy_vitpose_tpu.ops.affine import fliplr_regression
+    rng = np.random.default_rng(0)
+    FP = [[1, 2], [3, 4]]
+    r = rng.normal(size=(3, 4, 6, 2)).astype(np.float32)
+    twice = fliplr_regression(
+        fliplr_regression(r, FP, center_x=0.3), FP, center_x=0.3)
+    np.testing.assert_allclose(np.asarray(twice), r, rtol=1e-6, atol=1e-6)
+    twice_root = fliplr_regression(
+        fliplr_regression(r, FP, center_mode="root", center_index=0),
+        FP, center_mode="root", center_index=0)
+    np.testing.assert_allclose(np.asarray(twice_root), r,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flip_back_heatmaps_involution_combined():
+    """CombinedTarget flip_back applied twice restores the input (sign
+    flips cancel, triple swaps cancel, width mirror cancels)."""
+    import numpy as np
+    from easy_vitpose_tpu.ops.affine import flip_back_heatmaps
+    rng = np.random.default_rng(1)
+    hm = rng.normal(size=(2, 12, 8, 6)).astype(np.float32)
+    FP = [[0, 1], [2, 3]]
+    twice = flip_back_heatmaps(
+        flip_back_heatmaps(hm, FP, target_type="CombinedTarget"),
+        FP, target_type="CombinedTarget")
+    np.testing.assert_allclose(np.asarray(twice), hm, rtol=1e-6, atol=1e-6)
