@@ -70,6 +70,19 @@ def main():
         hm.copy(), centers.copy(), scales.copy(),
         post_process=None, use_udp=False)
 
+    # second, odd-shaped set: guards the vectorized indexing across
+    # non-default (H, W, K) (alternate kernel too)
+    rng2 = np.random.default_rng(11)
+    hm2 = peaked_heatmaps(rng2, 4, 21, 96, 72)
+    hm2[1, 5] = -np.abs(hm2[1, 5]) - 0.1
+    c2 = rng2.uniform(40, 400, size=(4, 2)).astype(np.float32).round()
+    s2 = rng2.uniform(80, 500, size=(4, 2)).astype(np.float32).round()
+    pp2 = {}
+    for mode in ("unbiased", "default", "megvii"):
+        pp2[mode] = keypoints_from_heatmaps(
+            hm2.copy(), c2.copy(), s2.copy(),
+            post_process=mode, kernel=17, use_udp=False)
+
     # 3d decode
     rng3 = np.random.default_rng(7)
     N3, K3, D3, H3, W3 = 3, 5, 8, 16, 12
@@ -97,6 +110,11 @@ def main():
         preds_default=pp["default"][0], maxvals_default=pp["default"][1],
         preds_megvii=pp["megvii"][0], maxvals_megvii=pp["megvii"][1],
         preds_none=pp["none"][0], maxvals_none=pp["none"][1],
+        heatmaps2=hm2, centers2=c2, scales2=s2,
+        preds2_unbiased=pp2["unbiased"][0],
+        maxvals2_unbiased=pp2["unbiased"][1],
+        preds2_default=pp2["default"][0], maxvals2_default=pp2["default"][1],
+        preds2_megvii=pp2["megvii"][0], maxvals2_megvii=pp2["megvii"][1],
         heatmaps3d=hm3, centers3d=c3, scales3d=s3,
         preds3d=preds3d, maxvals3d=maxvals3d,
         ml_pred=ml_pred, ml_gt=ml_gt, ml_mask2=ml_mask2, ml_mask1=ml_mask1,

@@ -151,3 +151,16 @@ def test_multilabel_classification_accuracy_matches_reference(g):
     # no valid samples -> 0.0 (reference behavior)
     assert multilabel_classification_accuracy(
         g["ml_pred"], g["ml_gt"], np.zeros_like(g["ml_mask1"])) == 0.0
+
+
+@pytest.mark.parametrize("pp", ["unbiased", "default", "megvii"])
+def test_post_process_family_odd_shapes(g, pp):
+    """Same family on a (4, 21, 96, 72) set with kernel=17 — guards the
+    vectorized indexing across non-default shapes."""
+    preds, maxvals = decode.keypoints_from_heatmaps(
+        g["heatmaps2"], g["centers2"], g["scales2"],
+        post_process=pp, kernel=17, use_udp=False)
+    np.testing.assert_allclose(np.asarray(preds), g[f"preds2_{pp}"],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(maxvals), g[f"maxvals2_{pp}"],
+                               rtol=1e-5, atol=1e-6)
