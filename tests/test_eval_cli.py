@@ -238,3 +238,44 @@ def test_per_keypoint_report(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "per-keypoint PCK@0.05" in out
     assert "nose" in out and "mean" in out  # COCO skeleton names resolved
+
+
+def test_gt_crops_batched_int8(tmp_path):
+    """dtype=int8 routes through quantize_vit_params + the q8 block and
+    produces finite detections (W8A8 AP-delta lane)."""
+    import jax
+    from easy_vitpose_tpu.cli.eval_coco import main
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ckpt = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(ckpt, init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    imgdir = tmp_path / "val"
+    imgdir.mkdir()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    cv2.imwrite(str(imgdir / "000000000000.jpg"), img)
+    kp = np.zeros((17, 3))
+    kp[:, 0] = rng.uniform(60, 260, 17)
+    kp[:, 1] = rng.uniform(40, 200, 17)
+    kp[:, 2] = 2
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": [{"id": 0, "file_name": "000000000000.jpg",
+                               "width": 320, "height": 240}],
+                   "annotations": [{"id": 1, "image_id": 0,
+                                    "category_id": 1,
+                                    "keypoints": kp.ravel().tolist(),
+                                    "num_keypoints": 17,
+                                    "bbox": [50.0, 30.0, 220.0, 180.0],
+                                    "area": 39600.0, "iscrowd": 0}]}, f)
+    out = str(tmp_path / "r.json")
+    stats = main(["--ann", ann, "--imgdir", str(imgdir), "--model", ckpt,
+                  "--model-name", "s", "--gt-crops-batched", "1",
+                  "--dtype", "int8", "--out", out])
+    assert "AP" in stats
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 1 and np.isfinite(results[0]["score"])
