@@ -9,6 +9,10 @@ import numpy as np
 
 def main():
     import jax
+    try:  # degrade to CPU when no accelerator backend is usable
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
     from easy_vitpose_tpu import VitInference
     from easy_vitpose_tpu.configs import get_model_config
     from easy_vitpose_tpu.models.vitpose import init_vitpose_params
