@@ -75,6 +75,9 @@ def main(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="EMA shadow weights, e.g. 0.999 (0 = off); "
                         "validation and checkpoints then use the EMA")
+    p.add_argument("--best-metric", default="loss", choices=["loss", "pck"],
+                   help="best.npz / early-stop criterion (default: val "
+                        "loss, the reference behavior)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -102,6 +105,7 @@ def main(argv=None):
         eval_ap_interval=overrides.get("eval_ap_interval",
                                        args.eval_ap_interval),
         ema_decay=overrides.get("ema_decay", args.ema_decay),
+        best_metric=overrides.get("best_metric", args.best_metric),
         work_dir=work_dir)
     lr = overrides.get("lr", args.lr)
     if lr is not None:

@@ -60,6 +60,8 @@ class TrainSettings:
     #                                   needs a K=17 val_ds with .ann_file)
     ema_decay: float = 0.0            # EMA shadow weights (0=off); when on,
     #                                   validation + checkpoints use the EMA
+    best_metric: str = "loss"         # best.npz / early-stop criterion:
+    #                                   'loss' (reference) | 'pck' (val PCK)
 
 
 class PlateauScheduler:
@@ -380,8 +382,13 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                                 "patience": patience,
                                 "epoch": epoch}, f)
         if epoch > settings.ckpt_topk_epoch:
-            if val_loss < best_val:
-                best_val = val_loss
+            # best-checkpoint / early-stop criterion: val loss (reference
+            # behavior) or negated val PCK (best_metric='pck'; falls back
+            # to loss when no val split produced an accuracy)
+            crit = (-val_acc if settings.best_metric == "pck"
+                    and val_acc is not None else val_loss)
+            if crit < best_val:
+                best_val = crit
                 patience = 0
                 save_params(os.path.join(settings.work_dir, "best.npz"),
                             serving)

@@ -292,3 +292,19 @@ def test_resume_pre_ema_checkpoint_with_ema_enabled(coco_dir, tmp_path):
     ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
     out = train_model(params, cfg, ds, None, settings, log=lambda s: None)
     assert np.isfinite(out["history"][0]["train_loss"])
+
+
+def test_best_metric_pck_tracks_accuracy(coco_dir, tmp_path):
+    """best_metric='pck' keys best.npz/early-stop on validation PCK
+    (negated, higher better) instead of the loss."""
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    settings = TrainSettings(lr=1e-3, total_epochs=2, batch_size=8,
+                             use_amp=False, save_interval=0,
+                             ckpt_topk_epoch=0, best_metric="pck",
+                             work_dir=str(tmp_path / "run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    val = CocoPoseDataset(coco_dir, "train2017", is_train=False)
+    out = train_model(params, cfg, ds, val, settings, log=lambda s: None)
+    assert os.path.exists(str(tmp_path / "run" / "best.npz"))
+    assert out["history"][0]["val_acc"] is not None
