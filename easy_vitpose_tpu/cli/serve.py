@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--yolo-size", type=int, default=640)
     p.add_argument("--yolo-step", type=int, default=1)
     p.add_argument("--max-people-per-stream", type=int, default=8)
+    p.add_argument("--smooth", action="store_true",
+                   help="per-track One-Euro keypoint smoothing per stream "
+                        "(same filter as cli/infer --smooth)")
     p.add_argument("--dtype", default="bf16",
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-pipeline", action="store_true",
@@ -88,7 +91,8 @@ def main(argv=None):
                          n_streams=len(args.inputs),
                          yolo_step=args.yolo_step,
                          max_people_per_stream=args.max_people_per_stream,
-                         compute_dtype=dtype, quant=quant, mesh=mesh)
+                         compute_dtype=dtype, quant=quant, mesh=mesh,
+                         smooth=args.smooth)
 
     readers = [iter(VideoReader(p)) for p in args.inputs]
     logs = [[] for _ in args.inputs]

@@ -58,3 +58,27 @@ class OneEuroFilter:
         self.x_prev = x_hat
         self.dx_prev = dx_hat
         return x_hat
+
+
+def apply_track_smoothing(kps, smoothers: dict, **smooth_kw):
+    """Per-track One-Euro smoothing of ``{track_id: (K, 3)}`` keypoints
+    (y/x smoothed, scores pass through), maintaining one filter per live
+    track in ``smoothers``.  A track's filter initializes on its first
+    frame and is dropped the frame the track disappears, so a re-acquired
+    id restarts clean.  Shared by the single-stream pipeline
+    (VitInference ``smooth=True``) and the multi-stream server."""
+    import numpy as np
+    out = {}
+    for pid, kp in kps.items():
+        f = smoothers.get(pid)
+        if f is None:
+            smoothers[pid] = OneEuroFilter(kp[:, :2], **smooth_kw)
+            out[pid] = kp
+        else:
+            sm = kp.copy()
+            sm[:, :2] = f(kp[:, :2]).astype(kp.dtype)
+            out[pid] = sm
+    for pid in list(smoothers):
+        if pid not in kps:
+            del smoothers[pid]
+    return out

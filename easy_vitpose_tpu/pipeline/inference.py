@@ -446,26 +446,11 @@ class VitInference:
         return outputs
 
     def _apply_smoothing(self, kps):
-        """Per-track One-Euro smoothing of (K, 3) keypoints (y/x only;
-        scores pass through).  A track's filter initializes on its first
-        frame and is dropped the frame the track disappears, so a
-        re-acquired id restarts clean."""
-        from ..ops.one_euro import OneEuroFilter
-        out = {}
-        for pid, kp in kps.items():
-            f = self._smoothers.get(pid)
-            if f is None:
-                self._smoothers[pid] = OneEuroFilter(kp[:, :2],
-                                                     **self._smooth_kw)
-                out[pid] = kp
-            else:
-                sm = kp.copy()
-                sm[:, :2] = f(kp[:, :2]).astype(kp.dtype)
-                out[pid] = sm
-        for pid in list(self._smoothers):
-            if pid not in kps:
-                del self._smoothers[pid]
-        return out
+        """Per-track One-Euro smoothing (ops/one_euro.py
+        ``apply_track_smoothing``; y/x smoothed, scores pass through)."""
+        from ..ops.one_euro import apply_track_smoothing
+        return apply_track_smoothing(kps, self._smoothers,
+                                     **self._smooth_kw)
 
     def select_frame_state(self, i: int):
         """Point draw() at frame ``i`` of the last :meth:`inference_batched`

@@ -57,7 +57,8 @@ class MultiStreamPose:
                  n_streams: int = 8, yolo_step: int = 1,
                  max_people_per_stream: int = 8,
                  compute_dtype=jnp.bfloat16, quant: bool = False,
-                 mesh=None):
+                 mesh=None, smooth: bool = False,
+                 smooth_params=None):
         self.params = params
         self.cfg = cfg
         self.detector = detector
@@ -69,6 +70,11 @@ class MultiStreamPose:
                               min_hits=3 if yolo_step == 1 else 1,
                               iou_threshold=0.3) for _ in range(n_streams)]
         self.frame_counter = 0
+        # per-stream One-Euro smoothing (same filter the single-stream
+        # pipeline wires with smooth=True; ops/one_euro.py)
+        self.smooth = bool(smooth)
+        self._smooth_kw = dict(smooth_params or {})
+        self._smoothers = [dict() for _ in range(n_streams)]
         self._pending = None  # (frames_dev, detect handle) of the last tick
         from .pose_step import default_block_impl
         self.block_impl = default_block_impl(compute_dtype=compute_dtype)
@@ -245,8 +251,16 @@ class MultiStreamPose:
     def _collect(self, out_handle, book) -> List[Dict[int, np.ndarray]]:
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
         if out_handle is None:
+            if self.smooth:  # all tracks gone -> drop their filters too
+                for d in self._smoothers:
+                    d.clear()
             return results
         out = np.asarray(out_handle)
         for slot, si, tid in book:
             results[si][tid] = out[slot]
+        if self.smooth:
+            from ..ops.one_euro import apply_track_smoothing
+            results = [apply_track_smoothing(r, self._smoothers[si],
+                                             **self._smooth_kw)
+                       for si, r in enumerate(results)]
         return results

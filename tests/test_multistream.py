@@ -139,3 +139,58 @@ def test_pipelined_matches_sync(tiny_params):
             for tid in ref[t][s]:
                 np.testing.assert_allclose(got[t][s][tid], ref[t][s][tid],
                                            atol=1e-5)
+
+
+def test_multistream_smoothing_matches_single_filter():
+    """smooth=True runs the same per-track One-Euro recursion the
+    single-stream pipeline uses: replaying one stream's outputs through a
+    standalone filter reproduces the smoothed trajectory; first frame
+    passes through; a vanished track's filter is dropped."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.ops.one_euro import OneEuroFilter
+    from easy_vitpose_tpu.pipeline.stream import MultiStreamPose
+    from tests.test_model_parity import CASES
+
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ms = MultiStreamPose(params, cfg, n_streams=2,
+                         max_people_per_stream=2,
+                         compute_dtype=jnp.float32, smooth=True)
+    ms_raw = MultiStreamPose(params, cfg, n_streams=2,
+                             max_people_per_stream=2,
+                             compute_dtype=jnp.float32, smooth=False)
+    frames = [rng.integers(0, 255, (96, 128, 3), np.uint8)
+              for _ in range(2)]
+    boxes = [np.array([[10, 10, 90, 90, 0.9]], np.float32),
+             np.array([[20, 8, 100, 88, 0.9]], np.float32)]
+    smoothed_t, raw_t = [], []
+    for t in range(4):
+        sm = ms.step(frames, boxes_per_stream=boxes)
+        rw = ms_raw.step(frames, boxes_per_stream=boxes)
+        smoothed_t.append(sm)
+        raw_t.append(rw)
+    # track ids stabilize from the first tick with gt boxes; replay the
+    # raw stream-0 trajectory through a standalone filter
+    tid = next(iter(raw_t[0][0]))
+    f = None
+    for t in range(4):
+        kp_raw = raw_t[t][0][tid]
+        kp_sm = smoothed_t[t][0][tid]
+        if f is None:
+            f = OneEuroFilter(kp_raw[:, :2])
+            np.testing.assert_allclose(kp_sm, kp_raw, rtol=1e-6)
+        else:
+            want = f(kp_raw[:, :2])
+            np.testing.assert_allclose(kp_sm[:, :2], want, rtol=1e-5,
+                                       atol=1e-5)
+        np.testing.assert_allclose(kp_sm[:, 2], kp_raw[:, 2], rtol=1e-6)
+    assert ms._smoothers[0]  # live track has a filter
+    # empty tick -> filters dropped
+    empty = [np.zeros((0, 5), np.float32)] * 2
+    for _ in range(3):  # exceed max_age so the tracks actually die
+        ms.step(frames, boxes_per_stream=empty)
+    assert not ms._smoothers[0] and not ms._smoothers[1]
