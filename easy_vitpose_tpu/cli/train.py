@@ -78,6 +78,12 @@ def main(argv=None):
     p.add_argument("--best-metric", default="loss", choices=["loss", "pck"],
                    help="best.npz / early-stop criterion (default: val "
                         "loss, the reference behavior)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer step: --batch-size is "
+                        "split into this many sequential micro-batches "
+                        "inside the jitted step (one optimizer update). "
+                        "Reproduces the reference's 8-GPU from-scratch "
+                        "batch (64x8=512) on fewer chips")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -106,6 +112,7 @@ def main(argv=None):
                                        args.eval_ap_interval),
         ema_decay=overrides.get("ema_decay", args.ema_decay),
         best_metric=overrides.get("best_metric", args.best_metric),
+        grad_accum=overrides.get("grad_accum", args.grad_accum),
         work_dir=work_dir)
     lr = overrides.get("lr", args.lr)
     if lr is not None:

@@ -62,6 +62,12 @@ class TrainSettings:
     #                                   validation + checkpoints use the EMA
     best_metric: str = "loss"         # best.npz / early-stop criterion:
     #                                   'loss' (reference) | 'pck' (val PCK)
+    grad_accum: int = 1               # micro-batches per optimizer step —
+    #                                   reproduces the reference's 8-GPU
+    #                                   from-scratch batch (64x8) on fewer
+    #                                   chips; batch_size is the LOGICAL
+    #                                   per-step batch and is split inside
+    #                                   the jitted step (lax.scan)
 
 
 class PlateauScheduler:
@@ -110,6 +116,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     n_dev = mesh.devices.size
     assert settings.batch_size % n_dev == 0, \
         f"batch {settings.batch_size} not divisible by {n_dev} devices"
+    k_accum = max(int(settings.grad_accum), 1)
+    assert settings.batch_size % (n_dev * k_accum) == 0, \
+        (f"batch {settings.batch_size} not divisible by {n_dev} devices x "
+         f"{k_accum} grad-accum micro-batches")
 
     steps_per_epoch = max(len(train_ds) // settings.batch_size, 1)
     if settings.lr_policy == "step" \
@@ -172,19 +182,23 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         log(f"resumed full train state from {settings.resume_state_dir} "
             f"(step {int(state['step'])} -> epoch {start_epoch})")
     state = meshlib.replicate(mesh, state)
-    if settings.block_impl.startswith("pallas_train") and n_dev > 1:
+    if n_dev > 1 and (settings.block_impl.startswith("pallas_train")
+                      or k_accum > 1):
         # explicit-SPMD wrapper: the fused Pallas kernels are partitioned
         # over 'data' by construction (GSPMD has no pallas partitioning
-        # rule and could replicate them on a real mesh)
+        # rule and could replicate them on a real mesh); grad-accum also
+        # routes here so the micro-batch split is a local per-device
+        # reshape instead of a GSPMD reshard
         train_step = steplib.make_train_step_sharded(
             cfg, tx, mesh, use_amp=settings.use_amp,
             block_impl=settings.block_impl,
-            ema_decay=settings.ema_decay)
+            ema_decay=settings.ema_decay, grad_accum=k_accum)
     else:
         train_step = steplib.jit_data_parallel(
             steplib.make_train_step(cfg, tx, use_amp=settings.use_amp,
                                     block_impl=settings.block_impl,
-                                    ema_decay=settings.ema_decay), mesh)
+                                    ema_decay=settings.ema_decay,
+                                    grad_accum=k_accum), mesh)
     eval_step = jax.jit(
         steplib.make_eval_step(cfg, use_amp=settings.use_amp,
                                return_heatmaps=True),

@@ -222,7 +222,8 @@ def merge_bn_state(params, bn_state):
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, use_amp: bool = True, remat: bool = False,
                     loss_fn: Callable = joints_mse_loss,
-                    block_impl: str = "xla", ema_decay: float = 0.0):
+                    block_impl: str = "xla", ema_decay: float = 0.0,
+                    grad_accum: int = 1):
     """Build the jittable train step.
 
     Batch: dict(images (B,256,192,3) f32 normalized NHWC,
@@ -230,11 +231,21 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     block_impl='pallas_train' runs the backbone blocks through the
     custom-VJP fused Pallas kernels (fast TPU training path; remat is
     implicit — the kernels recompute everything from (x, x1) in VMEM).
+    ``grad_accum``=k splits the batch into k sequential micro-batches
+    inside the step (``lax.scan``): gradients are averaged in f32 and the
+    optimizer updates ONCE, so step counters / LR schedules / EMA / the
+    epoch loop all see a single large-batch step.  This is how a
+    single-chip run reproduces the reference's from-scratch recipe batch
+    (64 samples x 8 GPUs — train_configs/*.py ``data['samples_per_gpu']``
+    with 8-GPU launchers) without 8 chips.  BN batch statistics are
+    chained through the micro-batches (the running-average update runs k
+    times, like the reference's per-GPU batches); drop-path draws are
+    per-micro-batch.
     """
 
-    def step(state, batch, rng):
+    def grad_one(trainable, bn_state, batch, rng):
         def compute_loss(trainable):
-            params = merge_bn_state(trainable, state["bn_state"])
+            params = merge_bn_state(trainable, bn_state)
             fwd_params = cast_params(params, jnp.bfloat16) if use_amp else params
             x = batch["images"].astype(jnp.bfloat16 if use_amp else jnp.float32)
             heat, new_bn = vitpose_forward_train(fwd_params, x, cfg,
@@ -244,17 +255,49 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             return loss, new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state["params"])
+            compute_loss, has_aux=True)(trainable)
+        return loss, jax.tree.map(jnp.asarray, new_bn), grads
+
+    def finish(state, loss, new_bn, grads):
         new_params, new_opt, gnorm = apply_optimizer(
             tx, grads, state["opt_state"], state["params"])
         new_state = {
             "params": new_params,
             "opt_state": new_opt,
-            "bn_state": jax.tree.map(jnp.asarray, new_bn),
+            "bn_state": new_bn,
             "step": state["step"] + 1,
         }
         new_state.update(_ema_update(state, new_params, ema_decay))
         return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if grad_accum <= 1:
+        def step(state, batch, rng):
+            loss, new_bn, grads = grad_one(state["params"], state["bn_state"],
+                                           batch, rng)
+            return finish(state, loss, new_bn, grads)
+        return step
+
+    k = int(grad_accum)
+
+    def step(state, batch, rng):
+        B = batch["images"].shape[0]
+        assert B % k == 0, f"batch {B} not divisible by grad_accum {k}"
+        micro = jax.tree.map(
+            lambda v: v.reshape((k, v.shape[0] // k) + v.shape[1:]), batch)
+        keys = jax.random.split(rng, k)
+
+        def body(carry, xs):
+            bn_state, gsum, lsum = carry
+            mb, key = xs
+            loss, new_bn, g = grad_one(state["params"], bn_state, mb, key)
+            return (new_bn, jax.tree.map(jnp.add, gsum, g), lsum + loss), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state["params"])
+        (new_bn, gsum, lsum), _ = jax.lax.scan(
+            body, (state["bn_state"], g0, jnp.zeros((), jnp.float32)),
+            (micro, keys))
+        grads = jax.tree.map(lambda g: g / k, gsum)
+        return finish(state, lsum / k, new_bn, grads)
 
     return step
 
@@ -314,7 +357,8 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
                             loss_fn: Callable = joints_mse_loss,
                             block_impl: str = "pallas_train",
                             donate_state: bool = True,
-                            ema_decay: float = 0.0):
+                            ema_decay: float = 0.0,
+                            grad_accum: int = 1):
     """Data-parallel train step via ``shard_map`` (explicit SPMD).
 
     The GSPMD wrapper (``jit_data_parallel``) relies on XLA's sharding
@@ -338,6 +382,13 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
     Same (state, batch, rng) -> (state, metrics) contract as
     ``jit_data_parallel(make_train_step(...))``.
     Reference mapping: SURVEY §2.3 DDP (train_valid_fn.py:59-68).
+
+    ``grad_accum``=k additionally splits each device's local batch into k
+    sequential micro-batches (``lax.scan``), accumulating f32 gradients
+    locally and pmean-ing ONCE after the scan — micro-batch i is the
+    union of every device's i-th local slice, and its BN statistics are
+    still global (pmean per micro-step).  One optimizer update per call,
+    exactly like ``make_train_step(grad_accum=k)``.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -345,10 +396,11 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
     from ..models.vit import draw_drop_path_masks
 
     axis = "data"
+    k = int(max(grad_accum, 1))
 
-    def device_step(state, batch, masks):
+    def grad_one(trainable, bn_state, batch, masks):
         def compute_loss(trainable):
-            params = merge_bn_state(trainable, state["bn_state"])
+            params = merge_bn_state(trainable, bn_state)
             fwd_params = cast_params(params, jnp.bfloat16) if use_amp \
                 else params
             x = batch["images"].astype(jnp.bfloat16 if use_amp
@@ -360,7 +412,35 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
             return loss, new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state["params"])
+            compute_loss, has_aux=True)(trainable)
+        return loss, jax.tree.map(jnp.asarray, new_bn), grads
+
+    def device_step(state, batch, masks):
+        if k == 1:
+            loss, new_bn, grads = grad_one(state["params"],
+                                           state["bn_state"], batch, masks)
+        else:
+            # local (B_loc, ...) -> (k, B_loc/k, ...); masks (L, B_loc, 1, 1)
+            # -> (k, L, B_loc/k, 1, 1) so scan slices per micro-batch
+            micro = jax.tree.map(
+                lambda v: v.reshape((k, v.shape[0] // k) + v.shape[1:]),
+                batch)
+            m = masks.reshape(masks.shape[0], k, -1, 1, 1)
+            m = jnp.moveaxis(m, 1, 0)
+
+            def body(carry, xs):
+                bn_state, gsum, lsum = carry
+                mb, mm = xs
+                loss, new_bn, g = grad_one(state["params"], bn_state, mb, mm)
+                return (new_bn, jax.tree.map(jnp.add, gsum, g),
+                        lsum + loss), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state["params"])
+            (new_bn, gsum, lsum), _ = jax.lax.scan(
+                body, (state["bn_state"], g0, jnp.zeros((), jnp.float32)),
+                (micro, m))
+            grads = jax.tree.map(lambda g: g / k, gsum)
+            loss = lsum / k
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         new_params, new_opt, gnorm = apply_optimizer(
@@ -368,7 +448,7 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
         new_state = {
             "params": new_params,
             "opt_state": new_opt,
-            "bn_state": jax.tree.map(jnp.asarray, new_bn),
+            "bn_state": new_bn,
             "step": state["step"] + 1,
         }
         # grads are pmean'd, so the update (and the EMA recursion) is
