@@ -5,9 +5,18 @@ JunkyByte/easy_ViTPose (detection -> tracking -> ViTPose -> UDP decode),
 designed TPU-first.  Public API mirrors the reference's single public symbol
 (reference easy_ViTPose/__init__.py:1-5).
 """
+import os as _os
+
 from .version import __version__
 
 __all__ = ["VitInference", "__version__"]
+
+if _os.environ.get("EVT_FORCE_CPU"):
+    # The JAX_PLATFORMS env var is ignored when a TPU plugin (e.g. axon) is
+    # installed, so offer a knob that works: set EVT_FORCE_CPU=1 before
+    # importing this package (or any CLI) to pin the CPU backend.
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 
 
 def __getattr__(name):

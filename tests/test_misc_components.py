@@ -109,3 +109,18 @@ def test_logging_and_profiling():
     assert "a" in st.summary()
     assert st.report()
 
+
+
+def test_evt_force_cpu_env_pins_cpu_backend():
+    """EVT_FORCE_CPU=1 must pin the CPU backend at package import (the
+    JAX_PLATFORMS env var is ignored when a TPU plugin is installed)."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import easy_vitpose_tpu, jax; "
+         "assert all(d.platform == 'cpu' for d in jax.devices()); "
+         "print('ok')"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__('os').environ, "EVT_FORCE_CPU": "1"})
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-800:]
