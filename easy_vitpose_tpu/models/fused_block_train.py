@@ -531,11 +531,13 @@ def _vmem() -> int:
 
 
 def _vmem_mlp() -> int:
-    # the G=8 MLP-backward tile needs ~115 MB scoped VMEM; hardware caps
-    # at 128 MB — a LIMIT, not an allocation, so safe for smaller tiles.
-    # Own env var: EVT_TRAIN_VMEM tunes the general limit without
-    # dragging this one below the default tile's requirement.
-    return int(_os.environ.get("EVT_TRAIN_VMEM_MLP", 125829120))
+    # the G=8 MLP-backward tile needs ~115 MB scoped VMEM (120.4 MB with
+    # the saved-m input block); hardware caps at 128 MB — a LIMIT, not an
+    # allocation, so safe for smaller tiles, and a 125 MB limit is proven
+    # on-device (the G=8-everywhere sweep, PERF.md). Own env var:
+    # EVT_TRAIN_VMEM tunes the general limit without dragging this one
+    # below the default tile's requirement.
+    return int(_os.environ.get("EVT_TRAIN_VMEM_MLP", 123 * 1024 * 1024))
 
 
 def _tile(D: int) -> int:
