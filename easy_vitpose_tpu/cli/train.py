@@ -33,6 +33,19 @@ def next_session_dir(base: str = "runs/train") -> str:
     return path
 
 
+def _fused_train_impl() -> str:
+    """--fused-block implementation for the current backend: the Pallas
+    custom-VJP kernels on TPU, their interpret-mode twins elsewhere
+    (CPU/GPU can't compile Mosaic kernels — without this the flag would
+    crash off-TPU instead of degrading to a slow-but-correct run)."""
+    if jax.default_backend() == "tpu":
+        return "pallas_train"
+    print(">>> --fused-block on a non-TPU backend: running the fused "
+          "kernels in Pallas interpret mode (correct but slow; intended "
+          "for functional verification only)")
+    return "pallas_train_interpret"
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data-root", required=True)
@@ -101,7 +114,7 @@ def main(argv=None):
         total_epochs=overrides.get("total_epochs", args.epochs),
         batch_size=overrides.get("batch_size", args.batch_size),
         use_amp=overrides.get("use_amp", not args.no_amp),
-        block_impl=("pallas_train" if args.fused_block
+        block_impl=(_fused_train_impl() if args.fused_block
                     or overrides.get("fused_block") else "xla"),
         save_interval=overrides.get("save_interval", 10),
         freeze_backbone=args.freeze_backbone or
@@ -135,7 +148,8 @@ def main(argv=None):
                              "--freeze-backbone (masked optimizer)")
         settings.optimizer = "fused_adam"
 
-    if settings.block_impl == "pallas_train" and len(jax.devices()) > 1:
+    if settings.block_impl.startswith("pallas_train") \
+            and len(jax.devices()) > 1:
         # multi-device fused training runs through the shard_map wrapper
         # (train/step.py make_train_step_sharded): the Pallas kernels see
         # the per-device batch shard by construction

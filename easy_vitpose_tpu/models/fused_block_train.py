@@ -11,8 +11,8 @@ passes.  This module implements the whole pre-LN block as a
   second output ``x1 = x + attn_branch`` saved as the residual for the
   backward MLP kernel (one extra R x D write per layer; recomputing x1 in
   backward would force the attention forward to run twice), and (c) in
-  the default saved-qkv flavor (<= ViT-L; EVT_TRAIN_ATTN) the qkv
-  projection, saved for the attention backward.
+  the opt-in saved-qkv flavor (EVT_TRAIN_ATTN=saved; recompute measured
+  faster on v5e) the qkv projection, saved for the attention backward.
 * **backward-MLP** — given (x1, dout): recompute LN2/fc1/GELU in VMEM,
   produce dx1 and the fc1/fc2/LN2 weight grads.
 * **backward-ATTN** — given (x, dx1[, qkv]): recompute LN1/softmax (and
@@ -559,13 +559,14 @@ def _attn_saved(D: int) -> bool:
     """Attention backward flavor: 'saved' writes the forward's qkv
     projection to HBM (one (R, 3D) bf16 per layer, live until that
     layer's backward) and skips the 3-matmul re-projection in the
-    backward.  Default on up to ViT-L; ViT-H (632M params, f32 master +
-    Adam moments ~10 GB) defaults to recompute to protect HBM headroom.
-    EVT_TRAIN_ATTN=saved|recompute overrides."""
-    ov = _os.environ.get("EVT_TRAIN_ATTN")
-    if ov:
-        return ov != "recompute"
-    return D <= 1024
+    backward.  Default OFF for every size since the r3 on-device A/B
+    (bench_train.py --ab-attn, ViT-B/64 interleaved): saved-qkv measured
+    0.976x vs recompute — on v5e the extra HBM write+read of the (R, 3D)
+    activation costs more than the 3 re-projection matmuls it removes
+    (same verdict as the saved-m MLP flavor, 0.985x).  Recompute also
+    frees the per-layer activation, protecting HBM headroom at ViT-H.
+    EVT_TRAIN_ATTN=saved opts back in."""
+    return _os.environ.get("EVT_TRAIN_ATTN") == "saved"
 
 
 def _mlp_saved(D: int) -> bool:

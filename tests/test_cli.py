@@ -188,6 +188,17 @@ def test_train_cli_end_to_end(tmp_path):
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
 
 
+def test_train_cli_fused_block_impl_tracks_backend():
+    """--fused-block selects the Pallas kernels on TPU and their
+    interpret-mode twins elsewhere (a compiled Mosaic call would crash
+    the CLI on CPU/GPU backends)."""
+    from easy_vitpose_tpu.cli.train import _fused_train_impl
+    import jax
+    expected = ("pallas_train" if jax.default_backend() == "tpu"
+                else "pallas_train_interpret")
+    assert _fused_train_impl() == expected
+
+
 def test_infer_cli_trace(vits_ckpt, tmp_path):
     """--trace captures a jax.profiler device trace directory."""
     from easy_vitpose_tpu.cli.infer import main
