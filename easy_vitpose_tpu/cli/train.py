@@ -99,6 +99,10 @@ def main(argv=None):
                         "batch (64x8=512) on fewer chips")
     args = p.parse_args(argv)
 
+    # persist compiled train programs across restarts (EVT_COMPILE_CACHE)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     overrides = {}
     if args.config:
         import yaml

@@ -65,6 +65,11 @@ class VitInference:
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
 
+        # persist compiled programs across process restarts (the
+        # reference's precompiled-engine-file role; EVT_COMPILE_CACHE)
+        from ..utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+
         self.yolo_size = yolo_size
         self.yolo_step = yolo_step
         self.is_video = is_video

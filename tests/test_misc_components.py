@@ -124,3 +124,40 @@ def test_evt_force_cpu_env_pins_cpu_backend():
         capture_output=True, text=True, timeout=300,
         env={**__import__('os').environ, "EVT_FORCE_CPU": "1"})
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-800:]
+
+
+def test_persistent_compile_cache_round_trip(tmp_path, monkeypatch):
+    """enable_persistent_cache points JAX's persistent compilation cache
+    at the resolved directory and a compiled program lands in it; =0
+    disables; the first directory wins (process-global cache)."""
+    import jax
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_ENABLED_DIR", None)
+    monkeypatch.setenv("EVT_COMPILE_CACHE", "0")
+    assert compile_cache.enable_persistent_cache() is None
+
+    monkeypatch.delenv("EVT_COMPILE_CACHE")
+    if jax.default_backend() != "tpu":
+        # auto mode is TPU-only (stale XLA:CPU AOT reloads can SIGILL on
+        # a different host); an explicit dir below still opts in
+        assert compile_cache.enable_persistent_cache() is None
+
+    cache_dir = str(tmp_path / "xla")
+    assert compile_cache.enable_persistent_cache(cache_dir) == cache_dir
+    # idempotent: a second enable keeps the first directory
+    assert compile_cache.enable_persistent_cache("/elsewhere") == cache_dir
+
+    # drop the >=1s-compile-time floor so a CPU test program qualifies
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        x = jnp.arange(7.0) * 3.0  # unique shape/op mix for this test
+        jax.jit(lambda a: (a[None, :] * a[:, None]).sum(0) + 41.0)(x)
+        import os
+        entries = []
+        for root, _, files in os.walk(cache_dir):
+            entries += files
+        assert entries, "no executable was written to the compile cache"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
