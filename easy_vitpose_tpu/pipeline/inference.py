@@ -228,6 +228,12 @@ class VitInference:
             self.tracker.max_age = step
             self.tracker.min_hits = 3 if step == 1 else 1
 
+    @property
+    def has_detector(self) -> bool:
+        """True when a YOLO checkpoint was loaded (without one, only the
+        precomputed-``bboxes`` inference path is available)."""
+        return self._detector is not None
+
     def reset(self):
         """Reset per-video state (frame counter + tracker); reference :174-185."""
         min_hits = 3 if self.yolo_step == 1 else 1

@@ -1,0 +1,152 @@
+"""HTTP serving endpoint (cli/serve_http): routes, JSON schema, error
+paths, metrics — against a live localhost server on an ephemeral port."""
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import jax
+    from easy_vitpose_tpu.cli import serve_http
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ck = tmp_path_factory.mktemp("w") / "vitpose-s-coco.npz"
+    save_params(str(ck), init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+
+    ready = threading.Event()
+    box: list = []
+    t = threading.Thread(
+        target=serve_http.main,
+        args=(["--model", str(ck), "--model-name", "s", "--port", "0",
+               "--dtype", "fp32", "--fixed-slots", "4"], ready, box),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=600), "server did not come up"
+    httpd, service = box[0]
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield url, service
+    httpd.shutdown()
+    t.join(timeout=30)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body, content_type):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": content_type})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _jpeg(img):
+    ok, buf = cv2.imencode(".jpg", img[..., ::-1])
+    assert ok
+    return buf.tobytes()
+
+
+def test_healthz_reports_warm_and_metadata(server):
+    code, body = _get(server[0] + "/healthz")
+    assert code == 200
+    assert body["status"] == "ok"
+    assert body["dataset"] == "coco" and body["fixed_slots"] == 4
+
+
+def test_pose_json_body_with_precomputed_boxes(server):
+    img = np.random.default_rng(0).integers(0, 255, (240, 320, 3), np.uint8)
+    payload = {"image": base64.b64encode(_jpeg(img)).decode(),
+               "boxes": [[40.0, 30.0, 280.0, 220.0, 0.9]]}
+    code, body = _post(server[0] + "/pose", json.dumps(payload).encode(),
+                       "application/json")
+    assert code == 200, body
+    kps = body["keypoints"]
+    assert len(kps) == 1
+    (kp,) = kps.values()
+    assert np.asarray(kp).shape == (17, 3)
+    assert body["ms"] > 0 and len(body["scores"]) == 1
+
+
+def test_pose_raw_image_without_detector_is_a_client_error(server):
+    # server has no --yolo: a raw image body can't be detected
+    img = np.zeros((64, 64, 3), np.uint8)
+    code, body = _post(server[0] + "/pose", _jpeg(img), "image/jpeg")
+    assert code == 400 and "boxes" in body["error"]
+
+
+def test_pose_garbage_body_is_a_client_error(server):
+    code, body = _post(server[0] + "/pose", b"not an image", "image/jpeg")
+    assert code == 400 and "error" in body
+
+
+def test_unknown_route_404(server):
+    code, body = _get(server[0] + "/metrics")
+    assert code == 200
+    assert body["requests"] >= 1 and body["errors"] >= 2
+    assert body["latency_ms_p95"] >= body["latency_ms_p50"] > 0
+    try:
+        urllib.request.urlopen(server[0] + "/nope", timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_shape_bucketing_matches_direct_inference(server):
+    """An odd-resolution request is zero-padded onto the 64-px shape grid;
+    padding must not change the keypoints vs direct VitInference on the
+    raw image (content stays at the origin, crops never read the margin)."""
+    url, service = server
+    from easy_vitpose_tpu.cli.serve_http import _bucket_pad
+    img = np.random.default_rng(2).integers(0, 255, (233, 317, 3), np.uint8)
+    padded = _bucket_pad(img)
+    assert padded.shape == (256, 320, 3)
+    np.testing.assert_array_equal(padded[:233, :317], img)
+    assert not padded[233:].any() and not padded[:, 317:].any()
+    # same-shape input passes through untouched (no copy-of-a-copy)
+    assert _bucket_pad(padded) is padded
+
+    boxes = np.array([[30.0, 20.0, 300.0, 215.0, 0.9]], np.float32)
+    payload = json.dumps({
+        "image": base64.b64encode(_jpeg(img)).decode(),
+        "boxes": boxes.tolist()}).encode()
+    code, body = _post(url + "/pose", payload, "application/json")
+    assert code == 200, body
+
+    # run the model directly on the raw (unpadded) image the server
+    # decoded — JPEG is lossy, so decode the same bytes
+    raw = cv2.imdecode(np.frombuffer(_jpeg(img), np.uint8),
+                       cv2.IMREAD_COLOR)[..., ::-1]
+    with service._lock:
+        direct = service.model.inference(raw, bboxes=boxes)
+        service.model.reset()
+    np.testing.assert_allclose(
+        np.asarray(list(body["keypoints"].values())),
+        np.stack(list(direct.values())), atol=1e-4)
+
+
+def test_requests_are_stateless_and_repeatable(server):
+    img = np.random.default_rng(1).integers(0, 255, (240, 320, 3), np.uint8)
+    payload = json.dumps({
+        "image": base64.b64encode(_jpeg(img)).decode(),
+        "boxes": [[40.0, 30.0, 280.0, 220.0, 0.9]]}).encode()
+    _, a = _post(server[0] + "/pose", payload, "application/json")
+    _, b = _post(server[0] + "/pose", payload, "application/json")
+    assert list(a["keypoints"]) == list(b["keypoints"])  # ids don't drift
+    np.testing.assert_allclose(
+        np.asarray(list(a["keypoints"].values())),
+        np.asarray(list(b["keypoints"].values())), rtol=0, atol=0)
