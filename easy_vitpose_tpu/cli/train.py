@@ -97,6 +97,15 @@ def main(argv=None):
                         "inside the jitted step (one optimizer update). "
                         "Reproduces the reference's 8-GPU from-scratch "
                         "batch (64x8=512) on fewer chips")
+    p.add_argument("--resume-state", default=None, metavar="DIR",
+                   help="resume a FULL train state (optimizer moments, LR "
+                        "schedule position, BN stats, EMA) from an orbax "
+                        "train_state dir — e.g. work_dir/train_state after "
+                        "a preemption; implies periodic full-state saves")
+    p.add_argument("--resilient", action="store_true",
+                   help="auto-resume from the newest full train state on "
+                        "transient failures (train/resilient.py); SIGTERM "
+                        "preemption is always handled gracefully")
     args = p.parse_args(argv)
 
     # persist compiled train programs across restarts (EVT_COMPILE_CACHE)
@@ -131,6 +140,11 @@ def main(argv=None):
         best_metric=overrides.get("best_metric", args.best_metric),
         grad_accum=overrides.get("grad_accum", args.grad_accum),
         work_dir=work_dir)
+    if args.resume_state:
+        preset_kw["resume_state_dir"] = args.resume_state
+    if args.resume_state or args.resilient \
+            or overrides.get("save_full_state"):
+        preset_kw["save_full_state"] = True
     lr = overrides.get("lr", args.lr)
     if lr is not None:
         preset_kw["lr"] = lr
@@ -183,10 +197,18 @@ def main(argv=None):
     print(f">>> train {len(train_ds)} instances, val {len(val_ds)}; "
           f"work dir {work_dir}")
 
-    out = train_model(params, cfg, train_ds, val_ds, settings)
+    if args.resilient:
+        from ..train.resilient import train_model_resilient
+        out = train_model_resilient(params, cfg, train_ds, val_ds, settings)
+    else:
+        out = train_model(params, cfg, train_ds, val_ds, settings)
     with open(os.path.join(work_dir, "history.json"), "w") as f:
         json.dump(out["history"], f, indent=1)
-    print(f">>> done; checkpoints in {work_dir}")
+    if out.get("preempted"):
+        print(f">>> preempted; resume with "
+              f"--resume-state {os.path.join(work_dir, 'train_state')}")
+    else:
+        print(f">>> done; checkpoints in {work_dir}")
 
 
 if __name__ == "__main__":

@@ -68,6 +68,13 @@ class TrainSettings:
     #                                   chips; batch_size is the LOGICAL
     #                                   per-step batch and is split inside
     #                                   the jitted step (lax.scan)
+    handle_sigterm: bool = True       # graceful preemption: on SIGTERM,
+    #                                   finish the in-flight step, save the
+    #                                   full train state + last.npz and
+    #                                   return {'preempted': True} — the
+    #                                   TPU-fleet eviction contract (resume
+    #                                   with resume_state_dir / the CLI's
+    #                                   --resume-state)
 
 
 class PlateauScheduler:
@@ -110,7 +117,40 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 val_ds: Optional[CocoPoseDataset],
                 settings: TrainSettings,
                 log: Callable[[str], None] = print) -> Dict:
-    """Run the full training session.  Returns {'params', 'history'}."""
+    """Run the full training session.
+
+    Returns {'params', 'history', 'preempted'}.  With
+    ``settings.handle_sigterm`` (default), SIGTERM — what TPU-fleet
+    schedulers send before eviction — checkpoints the full train state
+    and returns cleanly with ``preempted=True`` instead of dying
+    mid-epoch (the reference has no preemption story at all).
+    """
+    stop_sig = {"n": None}
+    old_sigterm = None
+    if settings.handle_sigterm:
+        import signal
+        import threading
+        if threading.current_thread() is threading.main_thread():
+            def _request_stop(signum, frame):
+                stop_sig["n"] = signum
+                log("!! SIGTERM: checkpointing at the next step boundary")
+            old_sigterm = signal.signal(signal.SIGTERM, _request_stop)
+    try:
+        return _train_model(params, cfg, train_ds, val_ds, settings, log,
+                            stop_sig)
+    finally:
+        # restore even on an exception path — a leaked handler would
+        # outlive this call and shadow the caller's disposition
+        if old_sigterm is not None:
+            import signal
+            signal.signal(signal.SIGTERM, old_sigterm)
+
+
+def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
+                 val_ds: Optional[CocoPoseDataset],
+                 settings: TrainSettings,
+                 log: Callable[[str], None],
+                 stop_sig: Dict) -> Dict:
     os.makedirs(settings.work_dir, exist_ok=True)
     mesh = meshlib.make_mesh()
     n_dev = mesh.devices.size
@@ -244,6 +284,24 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         f"lr {settings.lr}, amp {settings.use_amp}, "
         f"{sum(x.size for x in jax.tree.leaves(params)):,d} params ==#")
 
+    def _save_loop_ctl(epoch):
+        import json as _json
+        with open(loop_ctl_path, "w") as f:
+            _json.dump({"sched_lr": sched.lr,
+                        "sched_best": sched.best,
+                        "sched_bad_epochs": sched.bad_epochs,
+                        "best_val": best_val,
+                        "patience": patience,
+                        "epoch": epoch}, f)
+
+    def _serving_snapshot():
+        snap = (state["ema_params"] if settings.ema_decay
+                else state["params"])
+        return steplib.merge_bn_state(
+            jax.tree.map(np.asarray, snap),
+            jax.tree.map(np.asarray, state["bn_state"]))
+
+    preempted = False
     for epoch in range(start_epoch, settings.total_epochs):
         t0 = time.time()
         losses = []
@@ -252,6 +310,10 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                             workers=settings.workers)
         gnorms = []
         for bi, batch in enumerate(it):
+            # checked BEFORE dispatch: a signal that lands during the
+            # previous step/validation stops without burning another step
+            if stop_sig["n"] is not None:
+                break
             rng, key = jax.random.split(rng)
             dev_batch = meshlib.shard_batch(mesh, {
                 k: v for k, v in batch.items() if k != "meta"})
@@ -259,6 +321,22 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                                         meshlib.replicate(mesh, key))
             losses.append(metrics["loss"])
             gnorms.append(metrics.get("grad_norm"))
+        if stop_sig["n"] is not None:
+            # preemption: persist everything an exact resume needs (the
+            # resumed run re-enters this epoch from its start, with the
+            # mid-epoch optimizer state — same contract as the reference's
+            # epoch-granular resume, minus the lost work)
+            from .orbax_ckpt import save_train_state
+            save_train_state(os.path.join(settings.work_dir, "train_state"),
+                             state)
+            _save_loop_ctl(epoch)
+            save_params(os.path.join(settings.work_dir, "last.npz"),
+                        _serving_snapshot())
+            log(f"!! preempted at epoch {epoch} step {int(state['step'])}: "
+                f"full train state saved to "
+                f"{os.path.join(settings.work_dir, 'train_state')}")
+            preempted = True
+            break
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
             else float("nan")
         if losses and not np.isfinite(train_loss):
@@ -387,14 +465,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 from .orbax_ckpt import save_train_state
                 save_train_state(os.path.join(settings.work_dir,
                                               "train_state"), state)
-                import json as _json
-                with open(loop_ctl_path, "w") as f:
-                    _json.dump({"sched_lr": sched.lr,
-                                "sched_best": sched.best,
-                                "sched_bad_epochs": sched.bad_epochs,
-                                "best_val": best_val,
-                                "patience": patience,
-                                "epoch": epoch}, f)
+                _save_loop_ctl(epoch)
         if epoch > settings.ckpt_topk_epoch:
             # best-checkpoint / early-stop criterion: val loss (reference
             # behavior) or negated val PCK (best_metric='pck'; falls back
@@ -415,10 +486,7 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
 
     if tb is not None:
         tb.close()
-    final = steplib.merge_bn_state(
-        jax.tree.map(np.asarray,
-                     state["ema_params"] if settings.ema_decay
-                     else state["params"]),
-        jax.tree.map(np.asarray, state["bn_state"]))
-    save_params(os.path.join(settings.work_dir, "last.npz"), final)
-    return {"params": final, "history": history}
+    final = _serving_snapshot()
+    if not preempted:
+        save_params(os.path.join(settings.work_dir, "last.npz"), final)
+    return {"params": final, "history": history, "preempted": preempted}

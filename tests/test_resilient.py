@@ -187,3 +187,66 @@ def test_plateau_state_survives_resume(coco_dir, tmp_path):
     # the resumed epoch's realized LR is the restored plateau value,
     # not the base lr
     assert out["history"][0]["lr"] == pytest.approx(1.23e-5, rel=1e-6)
+
+
+class _KillAt:
+    """Sends SIGTERM to this process once, at the Nth cumulative sample
+    access (a scheduler evicting the job mid-epoch)."""
+
+    def __init__(self, ds, at: int):
+        self.ds = ds
+        self.at = at
+        self.count = 0
+        self.sent = False
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        self.count += 1
+        if not self.sent and self.count == self.at:
+            self.sent = True
+            os.kill(os.getpid(), __import__("signal").SIGTERM)
+        return self.ds[i]
+
+
+def test_sigterm_checkpoints_and_resumes(coco_dir, tmp_path):
+    """Graceful preemption: SIGTERM mid-epoch-1 finishes the in-flight
+    step, saves the FULL train state (even with periodic saves off) and
+    returns preempted=True; a resume from that state continues at the
+    step-derived epoch and completes."""
+    from easy_vitpose_tpu.train.loop import train_model
+    cfg = CASES["tiny"]
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    work = str(tmp_path / "run_sig")
+    settings = TrainSettings(lr=1e-3, total_epochs=4, batch_size=8,
+                             use_amp=False, save_interval=10 ** 6,
+                             ckpt_topk_epoch=10 ** 6, tensorboard=False,
+                             work_dir=work)
+    # 8 instances, batch 8 -> 1 step/epoch; access 12 = mid epoch-1 batch
+    ds = _KillAt(CocoPoseDataset(coco_dir, "train2017", is_train=True,
+                                 seed=0), at=12)
+    logs = []
+    out = train_model(params, cfg, ds, None, settings, log=logs.append)
+    assert out["preempted"] is True
+    assert ds.sent
+    text = "\n".join(logs)
+    assert "SIGTERM" in text and "preempted at epoch 1" in text
+    assert os.path.isdir(os.path.join(work, "train_state"))
+    assert os.path.exists(os.path.join(work, "last.npz"))
+    # epoch 1 was aborted: only epoch 0 reached the history
+    assert [h["epoch"] for h in out["history"]] == [0]
+    # the default SIGTERM disposition is restored after the loop
+    import signal
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    # resume: the signal landed before epoch-1's step dispatched (the
+    # loop-top check), so the restored step count (1) re-enters epoch 1
+    # and runs 1..3 — no step was burned after the signal
+    import dataclasses
+    settings2 = dataclasses.replace(
+        settings, resume_state_dir=os.path.join(work, "train_state"))
+    params2 = init_vitpose_params(jax.random.PRNGKey(1), cfg)
+    out2 = train_model(params2, cfg, ds, None, settings2, log=logs.append)
+    assert out2["preempted"] is False
+    assert [h["epoch"] for h in out2["history"]] == [1, 2, 3]
