@@ -77,6 +77,62 @@ class TrainSettings:
     #                                   --resume-state)
 
 
+class _BgWriter:
+    """Single background thread for checkpoint serialization + disk IO.
+
+    Epoch-end saves block the step pipeline for as long as the write
+    takes (orbax full state for ViT-H is multi-GB); only the
+    device->host snapshot has to be synchronous (the train step donates
+    its input buffers, so the state must be fetched before the next
+    step invalidates it) — the file write happens here, overlapped with
+    the next epoch.  Writes execute in submission order; the first
+    failure is re-raised at the next ``drain()`` (a checkpoint that
+    silently failed to persist must not look durable)."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q = queue.Queue()
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            try:
+                if fn is None:
+                    return
+                fn()
+            except BaseException as e:  # surfaced at drain()
+                if self._err is None:
+                    self._err = e
+            finally:
+                # also acks the shutdown sentinel — a sentinel that never
+                # reached task_done() would deadlock a later q.join()
+                self._q.task_done()
+
+    def submit(self, fn):
+        if self._err is not None:
+            self.drain()
+        self._q.put(fn)
+
+    def drain(self):
+        """Block until every submitted write hit disk; re-raise errors."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self):
+        """Drain and stop the thread; idempotent (the success path closes
+        for error visibility and the caller's finally closes again)."""
+        self.drain()
+        if self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+
+
 class PlateauScheduler:
     """ReduceLROnPlateau (mode=min) equivalent of the torch scheduler the
     reference uses (train_valid_fn.py:79)."""
@@ -135,10 +191,20 @@ def train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                 stop_sig["n"] = signum
                 log("!! SIGTERM: checkpointing at the next step boundary")
             old_sigterm = signal.signal(signal.SIGTERM, _request_stop)
+    writer = _BgWriter()
     try:
-        return _train_model(params, cfg, train_ds, val_ds, settings, log,
-                            stop_sig)
+        out = _train_model(params, cfg, train_ds, val_ds, settings, log,
+                           stop_sig, writer)
+        writer.close()   # success path: write failures must surface
+        return out
     finally:
+        try:
+            # exception path: finish in-flight writes so a resilient
+            # retry never reads a half-written checkpoint, but don't let
+            # a write error mask the original exception
+            writer.close()
+        except Exception as e:  # pragma: no cover - double-fault path
+            log(f"!! background checkpoint write failed: {e!r}")
         # restore even on an exception path — a leaked handler would
         # outlive this call and shadow the caller's disposition
         if old_sigterm is not None:
@@ -150,7 +216,7 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
                  val_ds: Optional[CocoPoseDataset],
                  settings: TrainSettings,
                  log: Callable[[str], None],
-                 stop_sig: Dict) -> Dict:
+                 stop_sig: Dict, writer: _BgWriter) -> Dict:
     os.makedirs(settings.work_dir, exist_ok=True)
     mesh = meshlib.make_mesh()
     n_dev = mesh.devices.size
@@ -284,15 +350,21 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         f"lr {settings.lr}, amp {settings.use_amp}, "
         f"{sum(x.size for x in jax.tree.leaves(params)):,d} params ==#")
 
-    def _save_loop_ctl(epoch):
+    def _loop_ctl_payload(epoch):
+        """Snapshot the host-side controllers NOW (callers hand the dict
+        to the background writer; reading sched/patience at write time
+        could capture a later epoch's values)."""
+        return {"sched_lr": sched.lr,
+                "sched_best": sched.best,
+                "sched_bad_epochs": sched.bad_epochs,
+                "best_val": best_val,
+                "patience": patience,
+                "epoch": epoch}
+
+    def _save_loop_ctl(payload):
         import json as _json
         with open(loop_ctl_path, "w") as f:
-            _json.dump({"sched_lr": sched.lr,
-                        "sched_best": sched.best,
-                        "sched_bad_epochs": sched.bad_epochs,
-                        "best_val": best_val,
-                        "patience": patience,
-                        "epoch": epoch}, f)
+            _json.dump(payload, f)
 
     def _serving_snapshot():
         snap = (state["ema_params"] if settings.ema_decay
@@ -327,14 +399,17 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             # mid-epoch optimizer state — same contract as the reference's
             # epoch-granular resume, minus the lost work)
             from .orbax_ckpt import save_train_state
-            save_train_state(os.path.join(settings.work_dir, "train_state"),
-                             state)
-            _save_loop_ctl(epoch)
-            save_params(os.path.join(settings.work_dir, "last.npz"),
-                        _serving_snapshot())
+            host_state = jax.tree.map(np.asarray, state)
+            snap = _serving_snapshot()
+            sd = os.path.join(settings.work_dir, "train_state")
+            writer.submit(lambda: save_train_state(sd, host_state))
+            writer.submit(lambda p=_loop_ctl_payload(epoch):
+                          _save_loop_ctl(p))
+            writer.submit(lambda: save_params(
+                os.path.join(settings.work_dir, "last.npz"), snap))
+            writer.drain()   # the log below must not lie to the scheduler
             log(f"!! preempted at epoch {epoch} step {int(state['step'])}: "
-                f"full train state saved to "
-                f"{os.path.join(settings.work_dir, 'train_state')}")
+                f"full train state saved to {sd}")
             preempted = True
             break
         train_loss = float(np.mean([float(l) for l in losses])) if losses \
@@ -459,13 +534,18 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             jax.tree.map(np.asarray, state["bn_state"]))
         if settings.save_interval and \
                 (epoch + 1) % settings.save_interval == 0:
-            save_params(os.path.join(settings.work_dir,
-                                     f"epoch{epoch:03d}.npz"), serving)
+            # host snapshots are taken synchronously (the next step
+            # donates/invalidates the device buffers); serialization +
+            # disk IO overlap the next epoch on the writer thread
+            writer.submit(lambda e=epoch, s=serving: save_params(
+                os.path.join(settings.work_dir, f"epoch{e:03d}.npz"), s))
             if settings.save_full_state:
                 from .orbax_ckpt import save_train_state
-                save_train_state(os.path.join(settings.work_dir,
-                                              "train_state"), state)
-                _save_loop_ctl(epoch)
+                host_state = jax.tree.map(np.asarray, state)
+                writer.submit(lambda hs=host_state: save_train_state(
+                    os.path.join(settings.work_dir, "train_state"), hs))
+                writer.submit(lambda p=_loop_ctl_payload(epoch):
+                              _save_loop_ctl(p))
         if epoch > settings.ckpt_topk_epoch:
             # best-checkpoint / early-stop criterion: val loss (reference
             # behavior) or negated val PCK (best_metric='pck'; falls back
@@ -475,8 +555,8 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             if crit < best_val:
                 best_val = crit
                 patience = 0
-                save_params(os.path.join(settings.work_dir, "best.npz"),
-                            serving)
+                writer.submit(lambda s=serving: save_params(
+                    os.path.join(settings.work_dir, "best.npz"), s))
             else:
                 patience += 1
                 if patience >= settings.early_stop_patience:
@@ -488,5 +568,8 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
         tb.close()
     final = _serving_snapshot()
     if not preempted:
-        save_params(os.path.join(settings.work_dir, "last.npz"), final)
+        writer.submit(lambda: save_params(
+            os.path.join(settings.work_dir, "last.npz"), final))
+    # the caller (train_model) drains the writer before returning, so
+    # every file above is durable by the time the session ends
     return {"params": final, "history": history, "preempted": preempted}

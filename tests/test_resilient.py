@@ -250,3 +250,22 @@ def test_sigterm_checkpoints_and_resumes(coco_dir, tmp_path):
     out2 = train_model(params2, cfg, ds, None, settings2, log=logs.append)
     assert out2["preempted"] is False
     assert [h["epoch"] for h in out2["history"]] == [1, 2, 3]
+
+
+def test_bg_writer_drain_close_semantics():
+    """Background checkpoint writer: ordered execution, idempotent close
+    (the loop closes twice: success path + finally), error surfacing."""
+    from easy_vitpose_tpu.train.loop import _BgWriter
+    w = _BgWriter()
+    hits = []
+    w.submit(lambda: hits.append(1))
+    w.submit(lambda: hits.append(2))
+    w.close()
+    w.close()  # must not deadlock on the shutdown sentinel
+    assert hits == [1, 2]
+
+    w2 = _BgWriter()
+    w2.submit(lambda: 1 / 0)
+    with pytest.raises(ZeroDivisionError):
+        w2.close()
+    w2.close()  # error already surfaced; second close is clean
