@@ -54,6 +54,10 @@ def build_parser():
                    help="person slots of the single compiled pose program")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-requests", type=int, default=0,
+                   help="shut down cleanly after N /pose requests (0 = "
+                        "serve forever) — for benchmarks and smoke runs "
+                        "where killing a TPU-attached process is costly")
     return p
 
 
@@ -167,7 +171,8 @@ def _decode_image(body: bytes, content_type: str):
     return img[..., ::-1], boxes   # BGR -> RGB (reference reads RGB)
 
 
-def make_handler(service: PoseService):
+def make_handler(service: PoseService, max_requests: int = 0,
+                 shutdown=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):
             data = json.dumps(obj, cls=NumpyEncoder).encode()
@@ -201,6 +206,12 @@ def make_handler(service: PoseService):
                         "no detector loaded (--yolo): pass precomputed "
                         "'boxes' in a JSON body")
                 self._send(200, service.pose(img, boxes))
+                if max_requests and \
+                        service.metrics.snapshot()["requests"] >= \
+                        max_requests and shutdown is not None:
+                    # shutdown() joins the serve loop — must not be
+                    # called from a request thread synchronously
+                    threading.Thread(target=shutdown, daemon=True).start()
             except Exception as e:
                 service.metrics.error()
                 self._send(400, {"error": str(e)})
@@ -218,8 +229,9 @@ def main(argv=None, ready_event: threading.Event = None,
     print(f">>> compiling (fixed_slots={args.fixed_slots}, "
           f"dtype={args.dtype}) ...", flush=True)
     service.warmup()
-    httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(service))
+    httpd = ThreadingHTTPServer((args.host, args.port), None)
+    httpd.RequestHandlerClass = make_handler(
+        service, max_requests=args.max_requests, shutdown=httpd.shutdown)
     if server_box is not None:
         server_box.append((httpd, service))
     print(f">>> serving on http://{args.host}:{httpd.server_address[1]} "
@@ -232,6 +244,7 @@ def main(argv=None, ready_event: threading.Event = None,
         pass
     finally:
         httpd.server_close()
+        print(json.dumps(service.metrics.snapshot()), flush=True)
 
 
 if __name__ == "__main__":

@@ -139,6 +139,40 @@ def test_shape_bucketing_matches_direct_inference(server):
         np.stack(list(direct.values())), atol=1e-4)
 
 
+def test_max_requests_shuts_down_cleanly(tmp_path):
+    """--max-requests N exits the serve loop after N pose requests — the
+    kill-free shutdown used for TPU smoke runs (killing a TPU-attached
+    process wedges the device tunnel)."""
+    import jax
+    from easy_vitpose_tpu.cli import serve_http
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ck = tmp_path / "vitpose-s-coco.npz"
+    save_params(str(ck), init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    ready = threading.Event()
+    box: list = []
+    t = threading.Thread(
+        target=serve_http.main,
+        args=(["--model", str(ck), "--model-name", "s", "--port", "0",
+               "--dtype", "fp32", "--fixed-slots", "4",
+               "--max-requests", "1"], ready, box),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=600)
+    url = f"http://127.0.0.1:{box[0][0].server_address[1]}"
+    img = np.zeros((128, 128, 3), np.uint8)
+    payload = json.dumps({
+        "image": base64.b64encode(_jpeg(img)).decode(),
+        "boxes": [[10.0, 10.0, 100.0, 100.0, 0.9]]}).encode()
+    code, _ = _post(url + "/pose", payload, "application/json")
+    assert code == 200
+    t.join(timeout=120)
+    assert not t.is_alive(), "server did not shut down after max-requests"
+
+
 def test_requests_are_stateless_and_repeatable(server):
     img = np.random.default_rng(1).integers(0, 255, (240, 320, 3), np.uint8)
     payload = json.dumps({
