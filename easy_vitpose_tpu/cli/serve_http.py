@@ -15,7 +15,7 @@ Routes:
 
 * ``POST /pose``  — body: JPEG/PNG bytes (``Content-Type: image/*``) or
   ``application/json`` ``{"image": <base64>, "boxes": [[x1,y1,x2,y2,score]...]?}``.
-  Response: ``{"keypoints": {id: [[y,x,score] x K]}, "boxes": {id: [...]},
+  Response: ``{"keypoints": {id: [[y,x,score] x K]}, "scores": {id: conf},
   "ms": float}``. Optional ``boxes`` skips the detector (precomputed-bbox
   mode, BASELINE config 1).
 * ``GET /healthz`` — 200 once the model is compiled-and-warm (a load
@@ -58,6 +58,10 @@ def build_parser():
                    help="shut down cleanly after N /pose requests (0 = "
                         "serve forever) — for benchmarks and smoke runs "
                         "where killing a TPU-attached process is costly")
+    p.add_argument("--max-body-mb", type=int, default=32,
+                   help="reject request bodies larger than this (413) — "
+                        "an uncapped read would let one request OOM the "
+                        "device-attached process")
     return p
 
 
@@ -82,6 +86,10 @@ class _Metrics:
     def error(self):
         with self._lock:
             self.errors += 1
+
+    def count(self) -> int:
+        with self._lock:
+            return self.requests
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -113,14 +121,17 @@ class PoseService:
 
     def warmup(self):
         """Compile the detector+pose programs on a dummy frame so the
-        first real request doesn't pay 20-40 s (healthz gates on this)."""
-        img = np.zeros((256, 320, 3), np.uint8)
-        boxes = np.array([[10., 10., 200., 240., 1.0]], np.float32)
-        self.model.inference(img, bboxes=boxes)
-        if self.model.has_detector:
-            self.model.inference(img)
-        self.model.reset()
-        self.warm = True
+        first real request doesn't pay 20-40 s (healthz gates on this).
+        Holds the dispatch lock: the socket is already live, and a /pose
+        that raced the warmup would interleave with its tracker state."""
+        with self._lock:
+            img = np.zeros((256, 320, 3), np.uint8)
+            boxes = np.array([[10., 10., 200., 240., 1.0]], np.float32)
+            self.model.inference(img, bboxes=boxes)
+            if self.model.has_detector:
+                self.model.inference(img)
+            self.model.reset()
+            self.warm = True
 
     def pose(self, img: np.ndarray, boxes=None) -> dict:
         t0 = time.perf_counter()
@@ -172,7 +183,7 @@ def _decode_image(body: bytes, content_type: str):
 
 
 def make_handler(service: PoseService, max_requests: int = 0,
-                 shutdown=None):
+                 shutdown=None, max_body_bytes: int = 32 << 20):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):
             data = json.dumps(obj, cls=NumpyEncoder).encode()
@@ -197,24 +208,41 @@ def make_handler(service: PoseService, max_requests: int = 0,
             if self.path != "/pose":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
+            responded = False
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    service.metrics.error()
+                    responded = True
+                    self._send(413, {"error": f"body {n} bytes exceeds "
+                                              f"the {max_body_bytes} cap"})
+                    return
                 img, boxes = _decode_image(
                     self.rfile.read(n), self.headers.get("Content-Type", ""))
                 if boxes is None and not service.model.has_detector:
                     raise ValueError(
                         "no detector loaded (--yolo): pass precomputed "
                         "'boxes' in a JSON body")
-                self._send(200, service.pose(img, boxes))
-                if max_requests and \
-                        service.metrics.snapshot()["requests"] >= \
-                        max_requests and shutdown is not None:
+                result = service.pose(img, boxes)
+                responded = True
+                self._send(200, result)
+                if max_requests and service.metrics.count() >= max_requests \
+                        and shutdown is not None:
                     # shutdown() joins the serve loop — must not be
                     # called from a request thread synchronously
                     threading.Thread(target=shutdown, daemon=True).start()
             except Exception as e:
+                if responded:
+                    # the 200 write itself failed (client hung up):
+                    # nothing sensible to send on the broken socket
+                    return
                 service.metrics.error()
-                self._send(400, {"error": str(e)})
+                # malformed input is the client's fault; a device/runtime
+                # failure must read as 5xx so load balancers eject us
+                client_fault = isinstance(
+                    e, (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError))
+                self._send(400 if client_fault else 500, {"error": str(e)})
 
         def log_message(self, fmt, *a):   # quiet per-request stderr spam
             pass
@@ -226,12 +254,24 @@ def main(argv=None, ready_event: threading.Event = None,
          server_box: list = None):
     args = build_parser().parse_args(argv)
     service = PoseService(args)
-    print(f">>> compiling (fixed_slots={args.fixed_slots}, "
-          f"dtype={args.dtype}) ...", flush=True)
-    service.warmup()
+    # bind BEFORE the warmup compile: a load balancer probing /healthz
+    # sees the documented 503 "warming up" during the 20-40 s compile
+    # instead of connection-refused
     httpd = ThreadingHTTPServer((args.host, args.port), None)
     httpd.RequestHandlerClass = make_handler(
-        service, max_requests=args.max_requests, shutdown=httpd.shutdown)
+        service, max_requests=args.max_requests, shutdown=httpd.shutdown,
+        max_body_bytes=args.max_body_mb << 20)
+    serve_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    serve_thread.start()
+    print(f">>> compiling (fixed_slots={args.fixed_slots}, "
+          f"dtype={args.dtype}) on "
+          f"http://{args.host}:{httpd.server_address[1]} ...", flush=True)
+    try:
+        service.warmup()
+    except BaseException:
+        httpd.shutdown()
+        httpd.server_close()
+        raise
     if server_box is not None:
         server_box.append((httpd, service))
     print(f">>> serving on http://{args.host}:{httpd.server_address[1]} "
@@ -239,9 +279,9 @@ def main(argv=None, ready_event: threading.Event = None,
     if ready_event is not None:
         ready_event.set()
     try:
-        httpd.serve_forever()
+        serve_thread.join()
     except KeyboardInterrupt:
-        pass
+        httpd.shutdown()
     finally:
         httpd.server_close()
         print(json.dumps(service.metrics.snapshot()), flush=True)

@@ -206,7 +206,8 @@ def main(argv=None):
         json.dump(out["history"], f, indent=1)
     if out.get("preempted"):
         print(f">>> preempted; resume with "
-              f"--resume-state {os.path.join(work_dir, 'train_state')}")
+              f"--resume-state {os.path.join(work_dir, 'train_state')} "
+              f"--work-dir {work_dir}")
     else:
         print(f">>> done; checkpoints in {work_dir}")
 

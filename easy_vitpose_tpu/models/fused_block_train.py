@@ -566,7 +566,13 @@ def _attn_saved(D: int) -> bool:
     (same verdict as the saved-m MLP flavor, 0.985x).  Recompute also
     frees the per-layer activation, protecting HBM headroom at ViT-H.
     EVT_TRAIN_ATTN=saved opts back in."""
-    return _os.environ.get("EVT_TRAIN_ATTN") == "saved"
+    ov = _os.environ.get("EVT_TRAIN_ATTN")
+    if ov not in (None, "", "saved", "recompute"):
+        # the pre-r3 contract was "anything but 'recompute' means saved";
+        # fail loudly rather than silently flipping a pinned perf config
+        raise ValueError(
+            f"EVT_TRAIN_ATTN={ov!r}: expected 'saved' or 'recompute'")
+    return ov == "saved"
 
 
 def _mlp_saved(D: int) -> bool:

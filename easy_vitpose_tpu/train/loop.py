@@ -92,7 +92,10 @@ class _BgWriter:
     def __init__(self):
         import queue
         import threading
-        self._q = queue.Queue()
+        # bounded: submit() blocks once 4 writes are pending — without
+        # backpressure, multi-GB ViT-H state snapshots would pile up in
+        # host RAM whenever the disk is slower than the epochs
+        self._q = queue.Queue(maxsize=4)
         self._err = None
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
@@ -319,12 +322,21 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
     best_val = float("inf")
     patience = 0
     loop_ctl_path = os.path.join(settings.work_dir, "loop_state.json")
-    if settings.resume_state_dir and os.path.exists(loop_ctl_path):
+    ctl_src = loop_ctl_path
+    if settings.resume_state_dir and not os.path.exists(ctl_src):
+        # resuming into a FRESH work dir (the CLI's next_session_dir flow):
+        # the controllers were written next to the train_state being
+        # resumed — without this the plateau LR / best-val / patience
+        # silently reset and the first epoch-end snaps the LR to base
+        ctl_src = os.path.join(
+            os.path.dirname(os.path.abspath(settings.resume_state_dir)),
+            "loop_state.json")
+    if settings.resume_state_dir and os.path.exists(ctl_src):
         # host-side loop controllers are NOT in the orbax state: restore
         # the plateau scheduler (else the first resumed epoch would reset
         # the LR to base), best-val and early-stop patience
         import json as _json
-        with open(loop_ctl_path) as f:
+        with open(ctl_src) as f:
             ctl = _json.load(f)
         sched.lr = ctl["sched_lr"]
         sched.best = ctl["sched_best"]

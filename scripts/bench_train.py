@@ -40,8 +40,8 @@ def main():
                          "(EVT_TRAIN_WIDE=recompute) in one process")
     ap.add_argument("--ab-attn", action="store_true",
                     help="interleave the saved-qkv attention backward "
-                         "(default <= ViT-L) against the recompute "
-                         "flavor (EVT_TRAIN_ATTN=recompute)")
+                         "(opt-in; lost the r3 A/B) against the default "
+                         "recompute flavor (EVT_TRAIN_ATTN)")
     ap.add_argument("--ab-mlp", action="store_true",
                     help="interleave the saved-m MLP backward (default "
                          "<= ViT-L) against the recompute flavor "

@@ -269,3 +269,41 @@ def test_bg_writer_drain_close_semantics():
     with pytest.raises(ZeroDivisionError):
         w2.close()
     w2.close()  # error already surfaced; second close is clean
+
+
+def test_loop_controllers_restore_into_fresh_work_dir(coco_dir, tmp_path):
+    """The CLI resume flow creates a NEW session dir: loop_state.json must
+    be found next to the train_state being resumed, not only in the new
+    work_dir (else the plateau LR silently resets to base)."""
+    import json as js
+
+    from easy_vitpose_tpu.train.loop import train_model
+
+    cfg = CASES["tiny"]
+    params = jax.tree.map(np.asarray,
+                          init_vitpose_params(jax.random.PRNGKey(0), cfg))
+    settings = TrainSettings(lr=1e-3, total_epochs=2, batch_size=8,
+                             use_amp=False, save_interval=1,
+                             save_full_state=True, ckpt_topk_epoch=10,
+                             tensorboard=False,
+                             work_dir=str(tmp_path / "old_run"))
+    ds = CocoPoseDataset(coco_dir, "train2017", is_train=True, seed=0)
+    train_model(params, cfg, ds, None, settings, log=lambda s: None)
+
+    ctl_path = str(tmp_path / "old_run" / "loop_state.json")
+    with open(ctl_path) as f:
+        ctl = js.load(f)
+    ctl["sched_lr"] = 4.56e-5
+    with open(ctl_path, "w") as f:
+        js.dump(ctl, f)
+
+    import dataclasses
+    settings2 = dataclasses.replace(
+        settings, total_epochs=3,
+        work_dir=str(tmp_path / "fresh_run"),   # CLI next_session_dir flow
+        resume_state_dir=str(tmp_path / "old_run" / "train_state"))
+    logs = []
+    out = train_model(params, cfg, ds, None, settings2, log=logs.append)
+    assert any("restored loop controllers (lr 4.56e-05" in ln
+               for ln in logs), logs
+    assert [h["epoch"] for h in out["history"]] == [2]

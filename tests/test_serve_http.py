@@ -94,11 +94,42 @@ def test_pose_garbage_body_is_a_client_error(server):
     assert code == 400 and "error" in body
 
 
-def test_unknown_route_404(server):
-    code, body = _get(server[0] + "/metrics")
+def test_metrics_count_requests_and_errors(server):
+    """Self-sufficient (runs under test selection / random order): issues
+    its own success + error and asserts the counters moved."""
+    before = _get(server[0] + "/metrics")[1]
+    img = np.random.default_rng(3).integers(0, 255, (128, 128, 3), np.uint8)
+    payload = json.dumps({
+        "image": base64.b64encode(_jpeg(img)).decode(),
+        "boxes": [[10.0, 10.0, 100.0, 100.0, 0.9]]}).encode()
+    assert _post(server[0] + "/pose", payload, "application/json")[0] == 200
+    assert _post(server[0] + "/pose", b"garbage", "image/jpeg")[0] == 400
+    code, after = _get(server[0] + "/metrics")
     assert code == 200
-    assert body["requests"] >= 1 and body["errors"] >= 2
-    assert body["latency_ms_p95"] >= body["latency_ms_p50"] > 0
+    assert after["requests"] == before["requests"] + 1
+    assert after["errors"] == before["errors"] + 1
+    assert after["latency_ms_p95"] >= after["latency_ms_p50"] > 0
+
+
+def test_oversized_body_rejected_413(server):
+    req = urllib.request.Request(
+        server[0] + "/pose", data=b"x", method="POST",
+        headers={"Content-Type": "image/jpeg",
+                 "Content-Length": str(1 << 30)})
+    # urllib would block trying to send 1 GiB it doesn't have; hand-set
+    # the header and a tiny body via a raw socket instead
+    import socket
+    host, port = server[0].replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=60) as s:
+        s.sendall((f"POST /pose HTTP/1.1\r\nHost: {host}\r\n"
+                   f"Content-Type: image/jpeg\r\n"
+                   f"Content-Length: {1 << 30}\r\n\r\n").encode())
+        s.sendall(b"tiny")
+        resp = s.recv(4096).decode()
+    assert "413" in resp.split("\r\n")[0]
+
+
+def test_unknown_route_404(server):
     try:
         urllib.request.urlopen(server[0] + "/nope", timeout=60)
         assert False, "expected 404"
