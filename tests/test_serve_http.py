@@ -170,6 +170,91 @@ def test_shape_bucketing_matches_direct_inference(server):
         np.stack(list(direct.values())), atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def batch_server(tmp_path_factory):
+    """A second server with micro-batching on (25 ms window, 2-frame cap),
+    sharing nothing with the plain `server` fixture."""
+    import jax
+    from easy_vitpose_tpu.cli import serve_http
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    ck = tmp_path_factory.mktemp("wb") / "vitpose-s-coco.npz"
+    save_params(str(ck), init_vitpose_params(
+        jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    ready = threading.Event()
+    box: list = []
+    t = threading.Thread(
+        target=serve_http.main,
+        args=(["--model", str(ck), "--model-name", "s", "--port", "0",
+               "--dtype", "fp32", "--fixed-slots", "4",
+               "--batch-window-ms", "25", "--batch-max-frames", "2"],
+              ready, box),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=600)
+    httpd, service = box[0]
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+    t.join(timeout=30)
+
+
+def _pose_payload(img, boxes):
+    return json.dumps({"image": base64.b64encode(_jpeg(img)).decode(),
+                       "boxes": boxes}).encode()
+
+
+def test_microbatch_single_request_works(batch_server):
+    url, _ = batch_server
+    img = np.random.default_rng(5).integers(0, 255, (128, 128, 3), np.uint8)
+    code, body = _post(url + "/pose",
+                       _pose_payload(img, [[10.0, 10.0, 100.0, 100.0, 0.7]]),
+                       "application/json")
+    assert code == 200, body
+    assert body["batched_frames"] == 1
+    assert np.asarray(body["keypoints"]["0"]).shape == (17, 3)
+    assert body["scores"]["0"] == pytest.approx(0.7)
+
+
+def test_microbatch_coalesces_and_matches_plain(server, batch_server):
+    """Concurrent same-shape requests coalesce into one multi-frame
+    program, and the batched keypoints equal the plain (lock-serialized)
+    server's for the same image+boxes."""
+    url, _ = batch_server
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 255, (128, 128, 3), np.uint8) for _ in range(4)]
+    boxes = [[[8.0 + i, 6.0, 110.0, 120.0, 0.9]] for i in range(4)]
+
+    results = [None] * 4
+
+    def _go(i):
+        results[i] = _post(url + "/pose", _pose_payload(imgs[i], boxes[i]),
+                           "application/json")
+
+    threads = [threading.Thread(target=_go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None and r[0] == 200 for r in results), results
+    # with a 25 ms window and 4 concurrent posts, at least one pair must
+    # have shared a program (2-frame cap -> batched_frames == 2)
+    assert any(r[1]["batched_frames"] == 2 for r in results), \
+        [r[1]["batched_frames"] for r in results]
+
+    # equality vs the plain server (same fp32 decode math, no batching)
+    plain_url = server[0]
+    for i in range(4):
+        code, plain = _post(plain_url + "/pose",
+                            _pose_payload(imgs[i], boxes[i]),
+                            "application/json")
+        assert code == 200
+        np.testing.assert_allclose(
+            np.asarray(results[i][1]["keypoints"]["0"]),
+            np.asarray(list(plain["keypoints"].values())[0]), atol=1e-3)
+
+
 def test_max_requests_shuts_down_cleanly(tmp_path):
     """--max-requests N exits the serve loop after N pose requests — the
     kill-free shutdown used for TPU smoke runs (killing a TPU-attached
