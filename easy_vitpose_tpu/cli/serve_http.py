@@ -64,12 +64,12 @@ def build_parser():
                         "an uncapped read would let one request OOM the "
                         "device-attached process")
     p.add_argument("--batch-window-ms", type=float, default=0.0,
-                   help="micro-batching: coalesce concurrent precomputed-"
-                        "boxes requests arriving within this window into "
-                        "ONE multi-frame device program (0 = off). "
-                        "Raises throughput under concurrency: one dispatch "
-                        "and one bigger MXU batch instead of N serialized "
-                        "programs")
+                   help="micro-batching: coalesce concurrent requests "
+                        "arriving within this window into one batched "
+                        "detector pass + ONE multi-frame pose program "
+                        "(0 = off). Raises throughput under concurrency: "
+                        "one dispatch and one bigger MXU batch instead of "
+                        "N serialized programs")
     p.add_argument("--batch-max-frames", type=int, default=8,
                    help="micro-batching frame-stack cap (compiled per "
                         "power-of-two bucket up to this)")
@@ -114,10 +114,11 @@ class _Metrics:
 
 
 class _MicroBatcher:
-    """Coalesce concurrent precomputed-boxes requests into ONE multi-frame
-    device program (``pipeline.stream._pose_multi_frame``): frames stack on
-    a power-of-two bucket axis, every request's boxes share the crop-slot
-    batch, and each crop samples from its own frame via ``frame_idx``.
+    """Coalesce concurrent requests into ONE batched detector pass (for
+    requests without precomputed boxes) + ONE multi-frame pose program
+    (``pipeline.stream._pose_multi_frame``): frames stack on one axis,
+    every request's boxes share the crop-slot batch, and each crop
+    samples from its own frame via ``frame_idx``.
 
     Why: the chip executes one program at a time, so N concurrent requests
     previously paid N dispatches (+ per-dispatch host/RTT overhead) of an
@@ -178,11 +179,27 @@ class _MicroBatcher:
     def _execute(self, run) -> list:
         import jax.numpy as jnp
 
+        from ..pipeline.inference import YOLO_CONF_THRESHOLD
         from ..pipeline.stream import _pose_multi_frame
         svc = self.service
         m = svc.model
         fs = svc.info["fixed_slots"]
         t0 = time.perf_counter()
+        run = [list(r) for r in run]
+        det_idx = [i for i, r in enumerate(run) if r[1] is None]
+        if det_idx:
+            # detector-mode requests: ONE batched YOLO pass over their
+            # frame stack (same conf filter as the single path), then
+            # they join the shared pose batch below
+            det_frames = np.stack([run[i][0] for i in det_idx])
+            with svc._lock:
+                packed = np.asarray(
+                    m._detector.detect_batch_async(det_frames))
+            dets = m._detector.unpack_batch(packed,
+                                            det_frames.shape[1:3])
+            for i, rows in zip(det_idx, dets):
+                rows = rows[rows[:, 4] > YOLO_CONF_THRESHOLD]
+                run[i][1] = rows[:, :5]
         # EXACT frame count (compiled per S in 1..max_frames — bounded),
         # not a power-of-two bucket: padded frames would re-upload and
         # re-compute dummy pixels, which on upload-bound links (the dev
@@ -268,10 +285,10 @@ class PoseService:
             self.warm = True
 
     def pose(self, img: np.ndarray, boxes=None) -> dict:
-        if self.batcher is not None and boxes is not None:
-            # micro-batching tier: stateless precomputed-boxes requests
-            # coalesce into one multi-frame program (detector-mode
-            # requests keep the single-frame path below)
+        if self.batcher is not None and (boxes is not None
+                                         or self.model.has_detector):
+            # micro-batching tier: stateless requests coalesce into one
+            # batched detector pass + one multi-frame pose program
             return self.batcher.pose(_bucket_pad(img), boxes)
         t0 = time.perf_counter()
         img = _bucket_pad(img)

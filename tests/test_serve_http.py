@@ -180,15 +180,24 @@ def batch_server(tmp_path_factory):
     from easy_vitpose_tpu.models.vitpose import init_vitpose_params
     from easy_vitpose_tpu.utils.checkpoint import save_params
 
-    ck = tmp_path_factory.mktemp("wb") / "vitpose-s-coco.npz"
+    from easy_vitpose_tpu.convert.yolo_torch import save_yolo_npz
+    from easy_vitpose_tpu.detect.yolo import YoloSpec, init_yolo_params
+
+    d = tmp_path_factory.mktemp("wb")
+    ck = d / "vitpose-s-coco.npz"
     save_params(str(ck), init_vitpose_params(
         jax.random.PRNGKey(0), get_model_config("coco", "s")))
+    yp = d / "yolov8n.npz"
+    save_yolo_npz(str(yp),
+                  init_yolo_params(jax.random.PRNGKey(1), YoloSpec("n")),
+                  "n", 80)
     ready = threading.Event()
     box: list = []
     t = threading.Thread(
         target=serve_http.main,
         args=(["--model", str(ck), "--model-name", "s", "--port", "0",
                "--dtype", "fp32", "--fixed-slots", "4",
+               "--yolo", str(yp), "--yolo-size", "160",
                "--batch-window-ms", "25", "--batch-max-frames", "2"],
               ready, box),
         daemon=True)
@@ -215,6 +224,30 @@ def test_microbatch_single_request_works(batch_server):
     assert body["batched_frames"] == 1
     assert np.asarray(body["keypoints"]["0"]).shape == (17, 3)
     assert body["scores"]["0"] == pytest.approx(0.7)
+
+
+def test_microbatch_detector_mode_raw_image(batch_server):
+    """Raw image bodies (no boxes) route through the batched YOLO pass:
+    concurrent posts coalesce and each gets a well-formed response
+    (random detector weights on noise: usually zero detections)."""
+    url, _ = batch_server
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (128, 128, 3), np.uint8) for _ in range(2)]
+    results = [None, None]
+
+    def _go(i):
+        results[i] = _post(url + "/pose", _jpeg(imgs[i]), "image/jpeg")
+
+    ts = [threading.Thread(target=_go, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    for code, body in results:
+        assert code == 200, body
+        assert "keypoints" in body and "batched_frames" in body
+        for kp in body["keypoints"].values():
+            assert np.asarray(kp).shape == (17, 3)
 
 
 def test_microbatch_coalesces_and_matches_plain(server, batch_server):
