@@ -71,8 +71,9 @@ def build_parser():
                         "one dispatch and one bigger MXU batch instead of "
                         "N serialized programs")
     p.add_argument("--batch-max-frames", type=int, default=8,
-                   help="micro-batching frame-stack cap (compiled per "
-                        "power-of-two bucket up to this)")
+                   help="micro-batching frame-stack cap (the frame count "
+                        "compiles EXACTLY, one program per live S up to "
+                        "this — padded frames measured slower)")
     return p
 
 
@@ -136,15 +137,24 @@ class _MicroBatcher:
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
-    def pose(self, img: np.ndarray, boxes: np.ndarray) -> dict:
+    def pose(self, img: np.ndarray, boxes: np.ndarray,
+             record: bool = True) -> dict:
         """Request-thread entry: enqueue and wait for the batch result."""
+        t0 = time.perf_counter()
         done = threading.Event()
         cell: dict = {}
         self._q.put((img, boxes, done, cell))
         done.wait()
         if "err" in cell:
             raise cell["err"]
-        return cell["out"]
+        out = cell["out"]
+        # request-observed latency: queue wait + batch window + device,
+        # comparable to the plain path's (which times from pose() entry)
+        ms = (time.perf_counter() - t0) * 1e3
+        out["ms"] = round(ms, 2)
+        if record:  # warmup calls must not count toward --max-requests
+            self.service.metrics.record(ms, len(out["keypoints"]))
+        return out
 
     # -- dispatcher thread ------------------------------------------------
     def _run(self):
@@ -184,7 +194,6 @@ class _MicroBatcher:
         svc = self.service
         m = svc.model
         fs = svc.info["fixed_slots"]
-        t0 = time.perf_counter()
         run = [list(r) for r in run]
         det_idx = [i for i, r in enumerate(run) if r[1] is None]
         if det_idx:
@@ -207,20 +216,33 @@ class _MicroBatcher:
         # bucketed separately on the REAL box total, so a half-full batch
         # runs fewer slots than the single path's per-request programs.
         from ..pipeline.pose_step import bucket_slots
+        from ..track.sort import sanitize_detections
         S = len(run)
         frames = np.stack([r[0] for r in run])
-        n_real = sum(min(len(np.asarray(r[1]).reshape(-1, 5)), fs)
-                     for r in run)
+        per_req = []
+        for img, bx, _, _ in run:
+            # same semantics as the single path: degenerate/non-finite
+            # rows dropped, then cap keeping the HIGHEST-scored boxes
+            bx = sanitize_detections(np.asarray(bx, np.float32)
+                                     .reshape(-1, 5))
+            if len(bx) > fs:
+                bx = bx[np.argsort(-bx[:, 4], kind="stable")[:fs]]
+            per_req.append(bx)
+        n_real = sum(len(b) for b in per_req)
+        if n_real == 0:
+            # nothing to pose anywhere: skip the device program entirely
+            # (matches the single path's `if n:` guard)
+            return [{"keypoints": {}, "scores": {},
+                     "batched_frames": len(run)} for _ in run]
         M = bucket_slots(n_real, max_slots=S * fs)
         boxes = np.zeros((M, 4), np.float32)
         fidx = np.zeros((M,), np.int32)
         mask = np.zeros((M,), bool)
         counts, offsets, confs = [], [], []
         k = 0
-        for i, (img, bx, _, _) in enumerate(run):
-            bx = np.asarray(bx, np.float32).reshape(-1, 5)[:fs]
+        for i, bx in enumerate(per_req):
             n = len(bx)
-            h, w = img.shape[:2]
+            h, w = run[i][0].shape[:2]
             boxes[k:k + n] = bx[:, :4]
             boxes[k:k + n, 0::2] = np.clip(boxes[k:k + n, 0::2], 0, w)
             boxes[k:k + n, 1::2] = np.clip(boxes[k:k + n, 1::2], 0, h)
@@ -237,14 +259,12 @@ class _MicroBatcher:
                 compute_dtype=m.compute_dtype,
                 block_impl=m._block_impl,
                 flip_pairs=getattr(m, "_flip_pairs", None)))
-        ms = (time.perf_counter() - t0) * 1e3
         outs = []
         for n, off, cf in zip(counts, offsets, confs):
-            svc.metrics.record(ms, n)
             outs.append({
                 "keypoints": {i: kpts[off + i] for i in range(n)},
                 "scores": {i: float(cf[i]) for i in range(n)},
-                "ms": round(ms, 2), "batched_frames": len(run)})
+                "batched_frames": len(run)})
         return outs
 
 
@@ -271,18 +291,28 @@ class PoseService:
             self.info["batch_window_ms"] = args.batch_window_ms
 
     def warmup(self):
-        """Compile the detector+pose programs on a dummy frame so the
-        first real request doesn't pay 20-40 s (healthz gates on this).
-        Holds the dispatch lock: the socket is already live, and a /pose
-        that raced the warmup would interleave with its tracker state."""
+        """Compile the programs the live request path will use, on a dummy
+        frame, so the first real request doesn't pay 20-40 s (healthz
+        gates on this).  Holds the dispatch lock for the single-path
+        compiles: the socket is already live, and a /pose that raced the
+        warmup would interleave with its tracker state."""
+        img = np.zeros((256, 320, 3), np.uint8)
+        boxes = np.array([[10., 10., 200., 240., 1.0]], np.float32)
         with self._lock:
-            img = np.zeros((256, 320, 3), np.uint8)
-            boxes = np.array([[10., 10., 200., 240., 1.0]], np.float32)
             self.model.inference(img, bboxes=boxes)
             if self.model.has_detector:
                 self.model.inference(img)
             self.model.reset()
-            self.warm = True
+        if self.batcher is not None:
+            # the batched path compiles DIFFERENT programs (multi-frame
+            # pose, batched detector); warm the single-request shapes —
+            # deeper frame-count buckets still compile on first live use
+            # (warm the expected bucket before going live; SERVING.md)
+            full = np.tile(boxes, (self.info["fixed_slots"], 1))
+            self.batcher.pose(img, full, record=False)
+            if self.model.has_detector:
+                self.batcher.pose(img, None, record=False)
+        self.warm = True
 
     def pose(self, img: np.ndarray, boxes=None) -> dict:
         if self.batcher is not None and (boxes is not None

@@ -257,24 +257,37 @@ def test_microbatch_coalesces_and_matches_plain(server, batch_server):
     url, _ = batch_server
     rng = np.random.default_rng(6)
     imgs = [rng.integers(0, 255, (128, 128, 3), np.uint8) for _ in range(4)]
-    boxes = [[[8.0 + i, 6.0, 110.0, 120.0, 0.9]] for i in range(4)]
+    # last request: an out-of-frame box — must equal the plain path too
+    # (crop_geometry clips identically on both paths)
+    boxes = [[[8.0 + i, 6.0, 110.0, 120.0, 0.9]] for i in range(3)] \
+        + [[[-20.0, -15.0, 400.0, 300.0, 0.9]]]
 
+    payloads = [_pose_payload(imgs[i], boxes[i]) for i in range(4)]
     results = [None] * 4
+    # timing-sensitive (requests must land inside the 25 ms server
+    # window): synchronize the posts with a barrier and retry the round
+    # a few times before calling it a failure
+    for _ in range(4):
+        barrier = threading.Barrier(4)
 
-    def _go(i):
-        results[i] = _post(url + "/pose", _pose_payload(imgs[i], boxes[i]),
-                           "application/json")
+        def _go(i):
+            barrier.wait()
+            results[i] = _post(url + "/pose", payloads[i],
+                               "application/json")
 
-    threads = [threading.Thread(target=_go, args=(i,)) for i in range(4)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=600)
-    assert all(r is not None and r[0] == 200 for r in results), results
-    # with a 25 ms window and 4 concurrent posts, at least one pair must
-    # have shared a program (2-frame cap -> batched_frames == 2)
-    assert any(r[1]["batched_frames"] == 2 for r in results), \
-        [r[1]["batched_frames"] for r in results]
+        threads = [threading.Thread(target=_go, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None and r[0] == 200 for r in results), results
+        if any(r[1]["batched_frames"] == 2 for r in results):
+            break
+    else:
+        raise AssertionError(
+            "no pair coalesced in 4 barrier-synchronized rounds: "
+            f"{[r[1]['batched_frames'] for r in results]}")
 
     # equality vs the plain server (same fp32 decode math, no batching)
     plain_url = server[0]
