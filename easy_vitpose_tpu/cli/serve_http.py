@@ -59,6 +59,13 @@ def build_parser():
                    help="shut down cleanly after N /pose requests (0 = "
                         "serve forever) — for benchmarks and smoke runs "
                         "where killing a TPU-attached process is costly")
+    p.add_argument("--warmup-shapes", default="",
+                   help="comma-separated HxW resolutions to pre-compile "
+                        "before /healthz goes 200 (e.g. 1080x1920,512x640; "
+                        "each is padded onto the 64-px grid first). The "
+                        "first live request of an unwarmed bucket pays "
+                        "that bucket's compile (~6 s ViT-S ... tens of s "
+                        "ViT-H)")
     p.add_argument("--max-body-mb", type=int, default=32,
                    help="reject request bodies larger than this (413) — "
                         "an uncapped read would let one request OOM the "
@@ -290,28 +297,35 @@ class PoseService:
                                          args.batch_max_frames)
             self.info["batch_window_ms"] = args.batch_window_ms
 
-    def warmup(self):
+    def warmup(self, extra_shapes=()):
         """Compile the programs the live request path will use, on a dummy
         frame, so the first real request doesn't pay 20-40 s (healthz
         gates on this).  Holds the dispatch lock for the single-path
         compiles: the socket is already live, and a /pose that raced the
-        warmup would interleave with its tracker state."""
-        img = np.zeros((256, 320, 3), np.uint8)
-        boxes = np.array([[10., 10., 200., 240., 1.0]], np.float32)
-        with self._lock:
-            self.model.inference(img, bboxes=boxes)
-            if self.model.has_detector:
-                self.model.inference(img)
-            self.model.reset()
-        if self.batcher is not None:
-            # the batched path compiles DIFFERENT programs (multi-frame
-            # pose, batched detector); warm the single-request shapes —
-            # deeper frame-count buckets still compile on first live use
-            # (warm the expected bucket before going live; SERVING.md)
-            full = np.tile(boxes, (self.info["fixed_slots"], 1))
-            self.batcher.pose(img, full, record=False)
-            if self.model.has_detector:
-                self.batcher.pose(img, None, record=False)
+        warmup would interleave with its tracker state.
+
+        ``extra_shapes``: (H, W) resolutions to pre-compile in addition
+        to the default canvas (--warmup-shapes; padded onto the 64-px
+        grid like live requests)."""
+        shapes = [(256, 320)] + [tuple(s) for s in extra_shapes]
+        for h, w in shapes:
+            img = _bucket_pad(np.zeros((h, w, 3), np.uint8))
+            boxes = np.array([[10., 10., w * 0.6, h * 0.9, 1.0]],
+                             np.float32)
+            with self._lock:
+                self.model.inference(img, bboxes=boxes)
+                if self.model.has_detector:
+                    self.model.inference(img)
+                self.model.reset()
+            if self.batcher is not None:
+                # the batched path compiles DIFFERENT programs
+                # (multi-frame pose, batched detector); warm the
+                # single-request shapes — deeper frame-count buckets
+                # still compile on first live use
+                full = np.tile(boxes, (self.info["fixed_slots"], 1))
+                self.batcher.pose(img, full, record=False)
+                if self.model.has_detector:
+                    self.batcher.pose(img, None, record=False)
         self.warm = True
 
     def pose(self, img: np.ndarray, boxes=None) -> dict:
@@ -452,8 +466,12 @@ def main(argv=None, ready_event: threading.Event = None,
     print(f">>> compiling (fixed_slots={args.fixed_slots}, "
           f"dtype={args.dtype}) on "
           f"http://{args.host}:{httpd.server_address[1]} ...", flush=True)
+    shapes = []
+    for tok in filter(None, args.warmup_shapes.split(",")):
+        h, w = tok.lower().split("x")
+        shapes.append((int(h), int(w)))
     try:
-        service.warmup()
+        service.warmup(shapes)
     except BaseException:
         httpd.shutdown()
         httpd.server_close()

@@ -320,7 +320,8 @@ def test_max_requests_shuts_down_cleanly(tmp_path):
         target=serve_http.main,
         args=(["--model", str(ck), "--model-name", "s", "--port", "0",
                "--dtype", "fp32", "--fixed-slots", "4",
-               "--max-requests", "1"], ready, box),
+               "--max-requests", "1", "--warmup-shapes", "100x150"],
+              ready, box),
         daemon=True)
     t.start()
     assert ready.wait(timeout=600)
