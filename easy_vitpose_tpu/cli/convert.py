@@ -5,6 +5,8 @@ Usage:
   python -m easy_vitpose_tpu.cli.convert vitpose --ckpt vitpose-b-coco.pth \
       --model-name b --out vitpose-b-coco.npz
   python -m easy_vitpose_tpu.cli.convert yolo --ckpt yolov8n.pt --out yolov8n.npz
+  python -m easy_vitpose_tpu.cli.convert to-torch --ckpt vitpose-b-coco.npz \
+      --model-name b --out vitpose-b-coco.pth   # inverse: deploy back to torch
 """
 from __future__ import annotations
 
@@ -35,6 +37,14 @@ def main(argv=None):
     pp.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
     pp.add_argument("--out", required=True)
 
+    pt = sub.add_parser("to-torch", help="inverse conversion: native .npz -> "
+                        "reference-format torch .pth (deploy a TPU-finetuned "
+                        "checkpoint back into the torch/ONNX/TRT ecosystem)")
+    pt.add_argument("--ckpt", required=True, help="native .npz checkpoint")
+    pt.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
+    pt.add_argument("--dataset", default=None)
+    pt.add_argument("--out", required=True, help="output .pth path")
+
     pa = sub.add_parser("average", help="uniform weight averaging (model "
                         "soup) of N same-shape .npz checkpoints — e.g. the "
                         "top-k epoch snapshots of one run")
@@ -50,6 +60,21 @@ def main(argv=None):
     ps.add_argument("--model-name", default="b", choices=["s", "b", "l", "h"])
 
     args = p.parse_args(argv)
+    if args.cmd == "to-torch":
+        from ..convert.vitpose_torch import save_torch_checkpoint
+        from ..utils.checkpoint import load_params
+        dataset = args.dataset or infer_dataset_by_path(args.ckpt)
+        params = load_params(args.ckpt)
+        k = None
+        try:  # head width may differ from the dataset default (K-mismatch finetunes)
+            k = int(params["head"]["final_b"].shape[0])
+        except Exception:
+            pass
+        cfg = get_model_config(dataset, args.model_name, num_keypoints=k)
+        save_torch_checkpoint(params, cfg, args.out)
+        print(f"wrote {args.out} (reference-format torch state dict, "
+              f"{dataset}, {args.model_name})")
+        return
     if args.cmd == "average":
         import jax
         import numpy as np

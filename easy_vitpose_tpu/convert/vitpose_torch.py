@@ -124,3 +124,77 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig, dtype=np.float32):
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     return convert_vitpose_state_dict(ckpt, cfg, dtype=dtype)
+
+
+def export_vitpose_state_dict(params: Mapping[str, Any],
+                              cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_vitpose_state_dict`: params pytree ->
+    reference-format torch state dict (f32 numpy, reference key names/layouts,
+    documented at reference model_split.py:35-48).
+
+    This is the deploy-back path: a checkpoint finetuned on TPU can re-enter
+    the reference's torch/ONNX/TRT ecosystem (its VitInference loads raw
+    state dicts directly, reference easy_ViTPose/inference.py:162-166).
+    Round-trips exactly with the forward converter at f32.
+    """
+    def f32(x):
+        return np.asarray(x, np.float32)
+
+    bb = cfg.backbone
+    D, C, P = bb.embed_dim, bb.in_chans, bb.patch_size
+    bbp, head = params["backbone"], params["head"]
+    sd: Dict[str, np.ndarray] = {}
+
+    # --- backbone ---
+    sd["backbone.patch_embed.proj.weight"] = np.ascontiguousarray(
+        f32(bbp["patch_w"]).reshape(P, P, C, D).transpose(3, 2, 0, 1))
+    sd["backbone.patch_embed.proj.bias"] = f32(bbp["patch_b"])
+    sd["backbone.pos_embed"] = f32(bbp["pos_embed"])
+
+    blocks = bbp["blocks"]
+    for i in range(bb.depth):
+        p = f"backbone.blocks.{i}"
+        b = blocks
+        sd[p + ".norm1.weight"] = f32(b["ln1_s"][i])
+        sd[p + ".norm1.bias"] = f32(b["ln1_b"][i])
+        sd[p + ".attn.qkv.weight"] = np.ascontiguousarray(f32(b["qkv_w"][i]).T)
+        sd[p + ".attn.qkv.bias"] = f32(b["qkv_b"][i])
+        sd[p + ".attn.proj.weight"] = np.ascontiguousarray(f32(b["proj_w"][i]).T)
+        sd[p + ".attn.proj.bias"] = f32(b["proj_b"][i])
+        sd[p + ".norm2.weight"] = f32(b["ln2_s"][i])
+        sd[p + ".norm2.bias"] = f32(b["ln2_b"][i])
+        mlp = b["mlp"]
+        sd[p + ".mlp.fc1.weight"] = np.ascontiguousarray(f32(mlp["fc1_w"][i]).T)
+        sd[p + ".mlp.fc1.bias"] = f32(mlp["fc1_b"][i])
+        sd[p + ".mlp.fc2.weight"] = np.ascontiguousarray(f32(mlp["fc2_w"][i]).T)
+        sd[p + ".mlp.fc2.bias"] = f32(mlp["fc2_b"][i])
+
+    sd["backbone.last_norm.weight"] = f32(bbp["ln_s"])
+    sd["backbone.last_norm.bias"] = f32(bbp["ln_b"])
+
+    # --- head (Sequential [deconv, bn, relu] * n -> indices 3i / 3i+1) ---
+    for i, (dc, bn_state) in enumerate(zip(head["deconv"], head["bn_state"])):
+        base = f"keypoint_head.deconv_layers.{3 * i}"
+        # invert: torch (Cin,Cout,kh,kw) -> flip -> (kh,kw,Cin,Cout)
+        sd[base + ".weight"] = np.ascontiguousarray(
+            f32(dc["w"]).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])
+        bn = f"keypoint_head.deconv_layers.{3 * i + 1}"
+        sd[bn + ".weight"] = f32(dc["bn"]["scale"])
+        sd[bn + ".bias"] = f32(dc["bn"]["bias"])
+        sd[bn + ".running_mean"] = f32(bn_state["mean"])
+        sd[bn + ".running_var"] = f32(bn_state["var"])
+        sd[bn + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    sd["keypoint_head.final_layer.weight"] = np.ascontiguousarray(
+        f32(head["final_w"]).transpose(3, 2, 0, 1))
+    sd["keypoint_head.final_layer.bias"] = f32(head["final_b"])
+    return sd
+
+
+def save_torch_checkpoint(params: Mapping[str, Any], cfg: ModelConfig,
+                          path: str) -> None:
+    """Write params as a reference-loadable ``{'state_dict': ...}`` .pth."""
+    import torch
+    sd = export_vitpose_state_dict(params, cfg)
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}}, path)

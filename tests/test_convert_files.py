@@ -132,3 +132,71 @@ def test_yolo_pt_file_roundtrip(tmp_path):
     b = det_npz(frame, frame_hw=frame.shape[:2])
     assert det_pt.spec.scale == "n" and det_pt.spec.nc == 80
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+# --------------------------------------------------- inverse (JAX -> torch)
+
+def test_export_inverts_convert_on_golden_sd():
+    """export_vitpose_state_dict is the exact inverse of the forward
+    converter: golden reference-layout sd -> params -> sd' bitwise equal."""
+    from easy_vitpose_tpu.convert.vitpose_torch import (
+        convert_vitpose_state_dict, export_vitpose_state_dict)
+
+    cfg = CASES["tiny"]
+    sd, _, _ = load_case("tiny")
+    params = convert_vitpose_state_dict(sd, cfg)
+    sd2 = export_vitpose_state_dict(params, cfg)
+
+    float_keys = {k for k, v in sd.items()
+                  if np.issubdtype(np.asarray(v).dtype, np.floating)}
+    assert float_keys == {k for k, v in sd2.items()
+                          if np.issubdtype(np.asarray(v).dtype, np.floating)}
+    for k in sorted(float_keys):
+        np.testing.assert_array_equal(
+            np.asarray(sd[k], np.float32), sd2[k], err_msg=k)
+
+
+def test_params_roundtrip_through_torch_layout():
+    """Fresh params -> reference-layout sd -> params again: exact pytree
+    equality (layout transforms are lossless permutations at f32)."""
+    import jax
+
+    from easy_vitpose_tpu.convert.vitpose_torch import (
+        convert_vitpose_state_dict, export_vitpose_state_dict)
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+
+    cfg = CASES["tiny"]
+    params = jax.tree.map(np.asarray,
+                          init_vitpose_params(jax.random.PRNGKey(3), cfg))
+    back = convert_vitpose_state_dict(
+        export_vitpose_state_dict(params, cfg), cfg)
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(params))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+
+def test_convert_cli_to_torch_e2e(tmp_path):
+    """cli/convert to-torch writes a .pth that loads through the torch-ckpt
+    path and matches the source .npz keypoint-for-keypoint (ViT-S geometry)."""
+    import jax
+
+    from easy_vitpose_tpu.configs import get_model_config
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    cfg = get_model_config("coco", "s")
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    npz = str(tmp_path / "vitpose-s-coco.npz")
+    save_params(npz, jax.tree.map(np.asarray, params))
+
+    pth = str(tmp_path / "vitpose-s-coco.pth")
+    convert_main(["to-torch", "--ckpt", npz, "--model-name", "s",
+                  "--out", pth])  # dataset inferred from the filename
+
+    a = VitInference(npz, model_name="s").inference(_frame(), bboxes=BOXES)
+    b = VitInference(pth, model_name="s").inference(_frame(), bboxes=BOXES)
+    np.testing.assert_array_equal(a[0], b[0])

@@ -161,3 +161,13 @@ def test_persistent_compile_cache_round_trip(tmp_path, monkeypatch):
         assert entries, "no executable was written to the compile cache"
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_reference_package_name_import_shim():
+    """`from easy_ViTPose import VitInference` (the reference's one public
+    import line) resolves to our VitInference."""
+    import easy_ViTPose
+
+    from easy_vitpose_tpu import VitInference
+    assert easy_ViTPose.VitInference is VitInference
+    assert easy_ViTPose.__all__ == ["VitInference", "__version__"]
