@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "int8"])
     p.add_argument("--single-pose", action="store_true")
+    p.add_argument("--tracker", default="sort",
+                   choices=["sort", "bytetrack"],
+                   help="video tracker: 'sort' (reference behaviour) or "
+                        "'bytetrack' (BYTE second association — "
+                        "low-confidence detections sustain tracks through "
+                        "blur/occlusion instead of dropping the identity)")
     p.add_argument("--smooth", action="store_true",
                    help="One-Euro temporal keypoint smoothing per track "
                         "(video only; the reference ships this filter "
@@ -110,7 +116,8 @@ def run_one(args, input_path: str) -> None:
                          single_pose=args.single_pose,
                          yolo_step=args.yolo_step, dtype=args.dtype,
                          smooth=args.smooth, smooth_params=smooth_params,
-                         fixed_slots=args.fixed_slots, device=args.device)
+                         fixed_slots=args.fixed_slots, device=args.device,
+                         tracker=args.tracker)
     print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
           f"dtype={args.dtype})")
 

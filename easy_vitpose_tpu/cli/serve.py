@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--yolo-size", type=int, default=640)
     p.add_argument("--yolo-step", type=int, default=1)
     p.add_argument("--max-people-per-stream", type=int, default=8)
+    p.add_argument("--tracker", default="sort",
+                   choices=["sort", "bytetrack"],
+                   help="per-stream tracker; 'bytetrack' sustains tracks "
+                        "through low-confidence (blur/occlusion) windows")
     p.add_argument("--smooth", action="store_true",
                    help="per-track One-Euro keypoint smoothing per stream "
                         "(same filter as cli/infer --smooth)")
@@ -92,7 +96,7 @@ def main(argv=None):
                          yolo_step=args.yolo_step,
                          max_people_per_stream=args.max_people_per_stream,
                          compute_dtype=dtype, quant=quant, mesh=mesh,
-                         smooth=args.smooth)
+                         smooth=args.smooth, tracker=args.tracker)
 
     readers = [iter(VideoReader(p)) for p in args.inputs]
     logs = [[] for _ in args.inputs]

@@ -102,6 +102,11 @@ def main(argv=None):
                         "schedule position, BN stats, EMA) from an orbax "
                         "train_state dir — e.g. work_dir/train_state after "
                         "a preemption; implies periodic full-state saves")
+    p.add_argument("--device-input", action="store_true",
+                   help="ship uint8 crops + joint coords and render "
+                        "normalization + Gaussian targets inside the jitted "
+                        "train step (~6.5x fewer host->device bytes, ~40% "
+                        "less host loader CPU; numerics identical)")
     p.add_argument("--resilient", action="store_true",
                    help="auto-resume from the newest full train state on "
                         "transient failures (train/resilient.py); SIGTERM "
@@ -139,6 +144,8 @@ def main(argv=None):
         ema_decay=overrides.get("ema_decay", args.ema_decay),
         best_metric=overrides.get("best_metric", args.best_metric),
         grad_accum=overrides.get("grad_accum", args.grad_accum),
+        device_input=args.device_input or overrides.get("device_input",
+                                                        False),
         work_dir=work_dir)
     if args.resume_state:
         preset_kw["resume_state_dir"] = args.resume_state

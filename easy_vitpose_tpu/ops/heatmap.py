@@ -65,3 +65,56 @@ def generate_gaussian_targets(joints: np.ndarray, joints_vis: np.ndarray,
     if use_different_joints_weight and joints_weight is not None:
         weight = weight * joints_weight
     return target.astype(np.float32), weight.astype(np.float32)
+
+
+def generate_gaussian_targets_jnp(joints, joints_vis,
+                                  heatmap_size: Tuple[int, int] = (48, 64),
+                                  image_size: Tuple[int, int] = (192, 256),
+                                  sigma: float = 3.0,
+                                  joints_weight=None,
+                                  use_different_joints_weight: bool = False):
+    """Batched on-device twin of :func:`generate_gaussian_targets`.
+
+    Args:
+      joints: (B, K, 2) xy in input-image pixels (f32).
+      joints_vis: (B, K, 2) visibility (first column used).
+    Returns (B, K, Hh, Wh) targets + (B, K, 1) weights, matching the numpy
+    renderer exactly (same int() truncation / out-of-bounds / unnormalized-
+    Gaussian quirks).  Used by the ``device_input`` training path: the loader
+    ships uint8 crops + joint coords and the targets are rendered inside the
+    jitted train step (TPU-idiomatic replacement for the reference's host
+    per-joint loop, reference datasets/COCO.py:384-439).
+    """
+    import jax.numpy as jnp
+
+    Wh, Hh = heatmap_size
+    Wi, Hi = image_size
+    tmp_size = sigma * 3
+
+    stride = jnp.asarray([Wi / Wh, Hi / Hh], jnp.float32)
+    mu = jnp.trunc(joints[..., :2] / stride + 0.5)            # (B, K, 2)
+    ul = jnp.trunc(mu - tmp_size).astype(jnp.int32)
+    br = jnp.trunc(mu + tmp_size + 1).astype(jnp.int32)
+
+    weight = joints_vis[..., 0].astype(jnp.float32)           # (B, K)
+    oob = ((ul[..., 0] >= Wh) | (ul[..., 1] >= Hh)
+           | (br[..., 0] < 0) | (br[..., 1] < 0))
+    weight = jnp.where(oob, 0.0, weight)
+
+    size = int(2 * tmp_size + 1)
+    x0 = size // 2
+    xs = jnp.arange(Wh, dtype=jnp.int32)[None, None, None, :]  # (1,1,1,Wh)
+    ys = jnp.arange(Hh, dtype=jnp.int32)[None, None, :, None]  # (1,1,Hh,1)
+    ulx = ul[..., 0][..., None, None]                          # (B,K,1,1)
+    uly = ul[..., 1][..., None, None]
+    gx = (xs - ulx - x0).astype(jnp.float32)
+    gy = (ys - uly - x0).astype(jnp.float32)
+    g = jnp.exp(-(gx ** 2 + gy ** 2) / (2.0 * sigma ** 2))
+    inside = ((xs >= ulx) & (xs < br[..., 0][..., None, None])
+              & (ys >= uly) & (ys < br[..., 1][..., None, None]))
+    target = jnp.where(inside & (weight[..., None, None] > 0.5), g, 0.0)
+
+    weight = weight[..., None]                                 # (B, K, 1)
+    if use_different_joints_weight and joints_weight is not None:
+        weight = weight * jnp.asarray(joints_weight, jnp.float32)
+    return target.astype(jnp.float32), weight.astype(jnp.float32)

@@ -60,7 +60,8 @@ class VitInference:
                  yolo_rect: Optional[bool] = None,
                  task: Optional[str] = None,
                  smooth: bool = False,
-                 smooth_params: Optional[dict] = None):
+                 smooth_params: Optional[dict] = None,
+                 tracker: str = "sort"):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -82,6 +83,12 @@ class VitInference:
         self._smoothers = {}
         self.single_pose = single_pose
         self.max_people = max_people
+        # 'sort' (reference behaviour) | 'bytetrack' (BYTE second
+        # association: low-confidence detections sustain — never create —
+        # tracks; see track/bytetrack.py)
+        assert tracker in ("sort", "bytetrack"), \
+            f"tracker must be 'sort' or 'bytetrack', got {tracker!r}"
+        self.tracker_type = tracker
         # Serving shape policy. Bucket flapping (person count crossing a
         # power of two) retriggers XLA compilation of the pose program
         # mid-stream (~10 s for ViT-H) — the failure mode stream.py:118-124
@@ -238,8 +245,16 @@ class VitInference:
         """Reset per-video state (frame counter + tracker); reference :174-185."""
         min_hits = 3 if self.yolo_step == 1 else 1
         use_tracker = self.is_video and not self.single_pose
-        self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
-                            iou_threshold=0.3) if use_tracker else None
+        if not use_tracker:
+            self.tracker = None
+        elif self.tracker_type == "bytetrack":
+            from ..track.bytetrack import ByteTrack
+            self.tracker = ByteTrack(max_age=self.yolo_step,
+                                     min_hits=min_hits, iou_threshold=0.3,
+                                     high_thresh=YOLO_CONF_THRESHOLD)
+        else:
+            self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
+                                iou_threshold=0.3)
         self._smoothers = {}
         self.frame_counter = 0
         # new video, new high-water mark (shrinking is free: previously
@@ -268,6 +283,19 @@ class VitInference:
                 or self.frame_counter % self.yolo_step == 0
                 or self.frame_counter < 3)
 
+    def _filter_dets(self, results: np.ndarray) -> np.ndarray:
+        """Detector rows [x1,y1,x2,y2,conf,cls] -> (N,5) tracker candidates.
+
+        SORT mode gates at 0.35 (reference inference.py:240-241).  ByteTrack
+        mode keeps everything down to the tracker's low_thresh — the BYTE
+        second association needs the low-confidence boxes (which can only
+        sustain existing tracks, never spawn or directly confirm one)."""
+        thr = (self.tracker.low_thresh
+               if self.tracker is not None
+               and self.tracker_type == "bytetrack"
+               else YOLO_CONF_THRESHOLD)
+        return results[results[:, 4] > thr][:, :5]
+
     def inference(self, img: np.ndarray,
                   bboxes: Optional[np.ndarray] = None
                   ) -> Dict[Any, np.ndarray]:
@@ -286,8 +314,8 @@ class VitInference:
             results = self._detector(frame_dev, frame_hw=img.shape[:2])
             if len(results):
                 # detector rows are [x1,y1,x2,y2,conf,cls]; keep first 5
-                # (conf filter at 0.35, reference inference.py:240-241)
-                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
+                # (conf gate per tracker mode, reference inference.py:240-241)
+                res_pd = self._filter_dets(results)
         self.frame_counter += 1
         return self._track_and_pose(img, frame_dev, res_pd, results)
 
@@ -311,8 +339,7 @@ class VitInference:
                 results = self._detector.unpack(np.asarray(det_h),
                                                 prev_img.shape[:2])
                 if len(results):
-                    res_pd = results[results[:, 4]
-                                     > YOLO_CONF_THRESHOLD][:, :5]
+                    res_pd = self._filter_dets(results)
             det_t = self._dispatch_detect_async(frame_dev, img.shape[:2])
             out_prev = self._track_and_pose(prev_img, prev_dev, res_pd,
                                             results)
@@ -333,7 +360,7 @@ class VitInference:
             results = self._detector.unpack(np.asarray(det_h),
                                             prev_img.shape[:2])
             if len(results):
-                res_pd = results[results[:, 4] > YOLO_CONF_THRESHOLD][:, :5]
+                res_pd = self._filter_dets(results)
         return self._track_and_pose(prev_img, prev_dev, res_pd, results)
 
     def inference_batched(self, frames,
@@ -402,8 +429,7 @@ class VitInference:
             elif due[i] and dets is not None and dets[i] is not None:
                 results = dets[i]
                 if len(results):
-                    res_pd = results[results[:, 4]
-                                     > YOLO_CONF_THRESHOLD][:, :5]
+                    res_pd = self._filter_dets(results)
             res_pd, ids, scores = self._track_boxes(res_pd)
             per_frame.append((res_pd, ids, scores, results))
             for row in res_pd:

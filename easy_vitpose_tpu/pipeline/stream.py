@@ -58,7 +58,7 @@ class MultiStreamPose:
                  max_people_per_stream: int = 8,
                  compute_dtype=jnp.bfloat16, quant: bool = False,
                  mesh=None, smooth: bool = False,
-                 smooth_params=None):
+                 smooth_params=None, tracker: str = "sort"):
         self.params = params
         self.cfg = cfg
         self.detector = detector
@@ -66,9 +66,21 @@ class MultiStreamPose:
         self.yolo_step = yolo_step
         self.max_pp = max_people_per_stream
         self.dtype = compute_dtype
-        self.trackers = [Sort(max_age=yolo_step,
-                              min_hits=3 if yolo_step == 1 else 1,
-                              iou_threshold=0.3) for _ in range(n_streams)]
+        assert tracker in ("sort", "bytetrack"), \
+            f"tracker must be 'sort' or 'bytetrack', got {tracker!r}"
+        if tracker == "bytetrack":
+            from ..track.bytetrack import ByteTrack
+            self.trackers = [ByteTrack(max_age=yolo_step,
+                                       min_hits=3 if yolo_step == 1 else 1,
+                                       iou_threshold=0.3, high_thresh=0.35)
+                             for _ in range(n_streams)]
+            self._det_gate = self.trackers[0].low_thresh
+        else:
+            self.trackers = [Sort(max_age=yolo_step,
+                                  min_hits=3 if yolo_step == 1 else 1,
+                                  iou_threshold=0.3)
+                             for _ in range(n_streams)]
+            self._det_gate = 0.35  # reference inference.py:240-241
         self.frame_counter = 0
         # per-stream One-Euro smoothing (same filter the single-stream
         # pipeline wires with smooth=True; ops/one_euro.py)
@@ -153,7 +165,7 @@ class MultiStreamPose:
             return [np.empty((0, 5), np.float32) for _ in range(self.n)]
         if not isinstance(det, list):  # packed device array -> fetch here
             det = self.detector.unpack_batch(np.asarray(det), frame_hw)
-        return [(r[r[:, 4] > 0.35][:, :5] if len(r)
+        return [(r[r[:, 4] > self._det_gate][:, :5] if len(r)
                  else np.empty((0, 5), np.float32)) for r in det]
 
     def step(self, frames: Sequence[np.ndarray],

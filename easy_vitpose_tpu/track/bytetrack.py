@@ -1,0 +1,85 @@
+"""BYTE two-stage association tracker (ByteTrack, Zhang et al., ECCV 2022)
+on the batched-Kalman SORT substrate.
+
+The reference pipeline discards every detection under its 0.35 confidence
+gate before tracking (reference easy_ViTPose/inference.py:240-241), so a
+person who blurs or occludes for a few frames drops below the gate, the
+track coasts, and after ``max_age`` frames the identity is lost.  BYTE's
+observation: low-confidence boxes are usually *real but degraded* — use
+them to SUSTAIN existing tracks (never to create new ones):
+
+  1. first association: high-confidence detections (score >= high_thresh)
+     vs every live track — standard SORT matching;
+  2. second association (the BYTE step): remaining low-confidence
+     detections (low_thresh <= score < high_thresh) rescue only the tracks
+     that were matched on the *previous* frame (fresh, not coasting), with
+     a stricter IoU gate;
+  3. new tracks spawn from unmatched HIGH-confidence detections only.
+
+With no low-confidence detections in the stream the behaviour is exactly
+``Sort`` (tests/test_bytetrack.py pins the equivalence), so this is a
+strict upgrade the reference does not have.  Select it with
+``VitInference(tracker='bytetrack')`` / ``cli.infer --tracker bytetrack``;
+the pipeline then lowers its detector gate to ``low_thresh`` and hands the
+full candidate set to the tracker.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .sort import Sort, associate
+
+
+class ByteTrack(Sort):
+    """Drop-in ``Sort`` replacement with the BYTE second association."""
+
+    def __init__(self, max_age: int = 1, min_hits: int = 3,
+                 iou_threshold: float = 0.3,
+                 high_thresh: float = 0.35, low_thresh: float = 0.1,
+                 second_iou: float = 0.5):
+        super().__init__(max_age=max_age, min_hits=min_hits,
+                         iou_threshold=iou_threshold)
+        assert low_thresh < high_thresh
+        self.high_thresh = high_thresh
+        self.low_thresh = low_thresh
+        self.second_iou = second_iou
+
+    def update(self, dets: np.ndarray = None) -> np.ndarray:
+        """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] including
+        LOW-confidence boxes (>= low_thresh).  Same output contract as
+        ``Sort.update`` (confirmed [x1,y1,x2,y2,score,id] rows; coast
+        output on empty-detection frames)."""
+        if dets is None:
+            dets = np.empty((0, 5), np.float32)
+        dets = np.asarray(dets, np.float32).reshape(-1, 5)
+        self.frame_count += 1
+        empty_dets = len(dets) == 0
+
+        high = dets[dets[:, 4] >= self.high_thresh]
+        low = dets[(dets[:, 4] >= self.low_thresh)
+                   & (dets[:, 4] < self.high_thresh)]
+
+        trk_boxes = self._predict()
+
+        # 1. high-confidence dets vs every live track
+        matched, unmatched_high, unmatched_trks = associate(
+            high, trk_boxes, self.iou_threshold)
+        self._apply_matches(high, matched)
+
+        # 2. BYTE: low-confidence dets rescue tracks that were matched on
+        # the previous frame (time_since_update == 1 after _predict);
+        # coasting/lost tracks don't participate — a weak box matching a
+        # long-coasted prediction is more likely a different person
+        if len(low) and len(unmatched_trks):
+            unmatched_trks = np.asarray(unmatched_trks, int)
+            fresh = unmatched_trks[
+                self.time_since_update[unmatched_trks] == 1]
+            if len(fresh):
+                m2, _, _ = associate(low, trk_boxes[fresh], self.second_iou)
+                if len(m2):
+                    m2 = np.stack([m2[:, 0], fresh[m2[:, 1]]], axis=1)
+                    self._apply_matches(low, m2)
+
+        # 3. new identities from unmatched high-confidence dets only
+        self._spawn(high, unmatched_high)
+        return self._emit_and_retire(empty_dets)

@@ -97,50 +97,43 @@ class Sort:
                      "time_since_update"):
             setattr(self, name, getattr(self, name)[keep])
 
-    def update(self, dets: np.ndarray = None) -> np.ndarray:
-        """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] (may be empty;
-        must be called every frame).  Returns (M, 6) rows
-        [x1,y1,x2,y2,score,id] for confirmed tracks — or, on empty-detection
-        frames with no confirmed tracks, the coasted predictions of every
-        live track (reference sort.py:259-265)."""
-        if dets is None:
-            dets = np.empty((0, 5), np.float32)
-        dets = np.asarray(dets, np.float32).reshape(-1, 5)
-        self.frame_count += 1
-        empty_dets = len(dets) == 0
+    # --- stages (shared with track/bytetrack.py, which recomposes them) ---
 
-        # 1. batched predict for all live tracks
-        if len(self):
-            self.x, self.P = kalman.predict(self.x, self.P)
-            self.hit_streak = np.where(self.time_since_update > 0, 0,
-                                       self.hit_streak)
-            self.time_since_update += 1
-            trk_boxes = kalman.x_to_bbox(self.x)
-            finite = np.isfinite(trk_boxes).all(axis=1)
-            if not finite.all():
-                self._keep(finite)
-                trk_boxes = trk_boxes[finite]
-        else:
-            trk_boxes = np.zeros((0, 4), np.float32)
+    def _predict(self) -> np.ndarray:
+        """Batched Kalman predict for every live track; drops tracks whose
+        predicted box went non-finite.  Returns the predicted boxes (row
+        order == state row order)."""
+        if not len(self):
+            return np.zeros((0, 4), np.float32)
+        self.x, self.P = kalman.predict(self.x, self.P)
+        self.hit_streak = np.where(self.time_since_update > 0, 0,
+                                   self.hit_streak)
+        self.time_since_update += 1
+        trk_boxes = kalman.x_to_bbox(self.x)
+        finite = np.isfinite(trk_boxes).all(axis=1)
+        if not finite.all():
+            self._keep(finite)
+            trk_boxes = trk_boxes[finite]
+        return trk_boxes
 
-        # 2. associate
-        matched, unmatched_dets, _ = associate(dets, trk_boxes,
-                                               self.iou_threshold)
+    def _apply_matches(self, dets: np.ndarray, matched: np.ndarray):
+        """Batched Kalman update of matched tracks.  matched: (n, 2)
+        [det_idx, state_row] pairs."""
+        if not len(matched):
+            return
+        di, ti = matched[:, 0], matched[:, 1]
+        z = kalman.bbox_to_z(dets[di, :4])
+        xs, Ps = kalman.update(self.x[ti], self.P[ti], z)
+        self.x[ti] = xs
+        self.P[ti] = Ps
+        self.scores[ti] = dets[di, 4]
+        self.hits[ti] += 1
+        self.hit_streak[ti] += 1
+        self.time_since_update[ti] = 0
 
-        # 3. batched update of matched tracks
-        if len(matched):
-            di, ti = matched[:, 0], matched[:, 1]
-            z = kalman.bbox_to_z(dets[di, :4])
-            xs, Ps = kalman.update(self.x[ti], self.P[ti], z)
-            self.x[ti] = xs
-            self.P[ti] = Ps
-            self.scores[ti] = dets[di, 4]
-            self.hits[ti] += 1
-            self.hit_streak[ti] += 1
-            self.time_since_update[ti] = 0
-
-        # 4. new tracks for unmatched detections
-        for i in unmatched_dets:
+    def _spawn(self, dets: np.ndarray, indices) -> None:
+        """Open a new track for each listed detection row."""
+        for i in indices:
             z = kalman.bbox_to_z(dets[i, :4])
             x0, P0 = kalman.init_state(z[None])
             self.x = np.concatenate([self.x, x0])
@@ -153,7 +146,10 @@ class Sort:
                 [self.time_since_update, [0]])
             self._next_id += 1
 
-        # 5. emit confirmed tracks; retire stale ones
+    def _emit_and_retire(self, empty_dets: bool) -> np.ndarray:
+        """Emit confirmed tracks (min_hits warm-up; coast output on
+        empty-detection frames, reference sort.py:259-265) and retire
+        tracks older than max_age."""
         boxes = kalman.x_to_bbox(self.x) if len(self) else \
             np.zeros((0, 4), np.float32)
         confirmed = (self.time_since_update < 1) & (
@@ -172,3 +168,22 @@ class Sort:
         if empty_dets and coasted is not None and len(coasted):
             return coasted
         return np.empty((0, 6), np.float32)
+
+    def update(self, dets: np.ndarray = None) -> np.ndarray:
+        """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] (may be empty;
+        must be called every frame).  Returns (M, 6) rows
+        [x1,y1,x2,y2,score,id] for confirmed tracks — or, on empty-detection
+        frames with no confirmed tracks, the coasted predictions of every
+        live track (reference sort.py:259-265)."""
+        if dets is None:
+            dets = np.empty((0, 5), np.float32)
+        dets = np.asarray(dets, np.float32).reshape(-1, 5)
+        self.frame_count += 1
+        empty_dets = len(dets) == 0
+
+        trk_boxes = self._predict()
+        matched, unmatched_dets, _ = associate(dets, trk_boxes,
+                                               self.iou_threshold)
+        self._apply_matches(dets, matched)
+        self._spawn(dets, unmatched_dets)
+        return self._emit_and_retire(empty_dets)

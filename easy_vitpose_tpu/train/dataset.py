@@ -53,7 +53,8 @@ class CocoPoseDataset:
                  flip_pairs: Optional[List[List[int]]] = None,
                  upper_body_ids: Optional[List[int]] = None,
                  category_id: int = 1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 device_input: bool = False):
         self.root_path = root_path
         self.data_version = data_version
         self.is_train = is_train
@@ -80,6 +81,12 @@ class CocoPoseDataset:
             else list(range(11))
         # coco joint weights (reference :116-117, 18-joint variant there)
         self.joints_weight = np.ones((num_joints, 1), np.float32)
+        # device_input: __getitem__ skips normalization + target rendering
+        # and ships the warped uint8 crop + joint coords; the jitted train
+        # step renders targets on device (train/step.py
+        # render_batch_on_device) — ~6.5x fewer host->device bytes and ~40%
+        # less host loader CPU per sample (scripts/bench_loader.py)
+        self.device_input = device_input
         self.rng = random.Random(seed)
 
         if ann_file is None:
@@ -211,6 +218,14 @@ class CocoPoseDataset:
         joints[vis_mask, :2] = affine_transform_batch(joints[vis_mask, :2],
                                                       trans)
 
+        meta = {"imgId": rec["imgId"], "annId": rec["annId"],
+                "center": c, "scale": s, "rotation": r,
+                "joints": joints, "joints_visibility": joints_vis}
+        if self.device_input:
+            # raw batch: normalize + Gaussian render happen inside the
+            # jitted step (render_batch_on_device); ship uint8 + coords
+            return np.ascontiguousarray(img), None, None, meta
+
         target, weight = generate_gaussian_targets(
             joints, joints_vis, self.heatmap_size, self.image_size,
             self.heatmap_sigma, self.joints_weight,
@@ -219,9 +234,6 @@ class CocoPoseDataset:
         img = (img.astype(np.float32) / 255.0
                - np.asarray(IMAGENET_MEAN, np.float32)) \
             / np.asarray(IMAGENET_STD, np.float32)
-        meta = {"imgId": rec["imgId"], "annId": rec["annId"],
-                "center": c, "scale": s, "rotation": r,
-                "joints": joints, "joints_visibility": joints_vis}
         return img, target, weight, meta
 
 
@@ -240,6 +252,16 @@ def _worker_get(seed_idx):
 
 
 def _collate(items):
+    if items[0][1] is None:  # device_input raw batches (uint8 + coords)
+        return {
+            "images_u8": np.stack([it[0] for it in items]),
+            "joints": np.stack(
+                [it[3]["joints"][:, :2] for it in items]).astype(np.float32),
+            "joints_vis": np.stack(
+                [it[3]["joints_visibility"] for it in items]
+            ).astype(np.float32),
+            "meta": [it[3] for it in items],
+        }
     return {
         "images": np.stack([it[0] for it in items]),
         "targets": np.stack([it[1] for it in items]),

@@ -219,11 +219,41 @@ def merge_bn_state(params, bn_state):
     return p
 
 
+def render_batch_on_device(batch: Dict[str, Any],
+                           render_kwargs: Dict[str, Any] = None
+                           ) -> Dict[str, Any]:
+    """Expand a raw device-input batch inside jit.
+
+    A raw batch ships ``images_u8`` (B,H,W,3) uint8 + ``joints`` (B,K,2) +
+    ``joints_vis`` (B,K,2) instead of normalized f32 images and pre-rendered
+    heatmap targets — ~6.5x fewer host->device bytes, and the normalize +
+    Gaussian render run on the MXU/VPU instead of the host loader (which is
+    the train-throughput bottleneck on few-core hosts; see
+    scripts/bench_loader.py).  A batch that already carries ``images`` passes
+    through untouched, so every step builder accepts either form.
+    Numerics match the host path exactly (tests/test_device_input.py).
+    """
+    if "images_u8" not in batch:
+        return batch
+    from ..configs import IMAGENET_MEAN, IMAGENET_STD
+    from ..ops.heatmap import generate_gaussian_targets_jnp
+    x = batch["images_u8"].astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN, jnp.float32)) \
+        / jnp.asarray(IMAGENET_STD, jnp.float32)
+    targets, weights = generate_gaussian_targets_jnp(
+        batch["joints"], batch["joints_vis"], **(render_kwargs or {}))
+    return {"images": x, "targets": targets, "target_weights": weights}
+
+
+def _batch_rows(batch: Dict[str, Any]) -> int:
+    return batch["images_u8" if "images_u8" in batch else "images"].shape[0]
+
+
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, use_amp: bool = True, remat: bool = False,
                     loss_fn: Callable = joints_mse_loss,
                     block_impl: str = "xla", ema_decay: float = 0.0,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, render_kwargs: Dict = None):
     """Build the jittable train step.
 
     Batch: dict(images (B,256,192,3) f32 normalized NHWC,
@@ -272,6 +302,7 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 
     if grad_accum <= 1:
         def step(state, batch, rng):
+            batch = render_batch_on_device(batch, render_kwargs)
             loss, new_bn, grads = grad_one(state["params"], state["bn_state"],
                                            batch, rng)
             return finish(state, loss, new_bn, grads)
@@ -280,6 +311,7 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     k = int(grad_accum)
 
     def step(state, batch, rng):
+        batch = render_batch_on_device(batch, render_kwargs)
         B = batch["images"].shape[0]
         assert B % k == 0, f"batch {B} not divisible by grad_accum {k}"
         micro = jax.tree.map(
@@ -317,7 +349,7 @@ def apply_optimizer(tx, grads, opt_state, params):
 
 def make_eval_step(cfg: ModelConfig, *, use_amp: bool = True,
                    loss_fn: Callable = joints_mse_loss,
-                   return_heatmaps: bool = False):
+                   return_heatmaps: bool = False, render_kwargs: Dict = None):
     """Validation step (reference valid_model, train_valid_fn.py:22-39).
 
     ``return_heatmaps`` additionally returns the f32 heatmaps so the epoch
@@ -327,6 +359,7 @@ def make_eval_step(cfg: ModelConfig, *, use_amp: bool = True,
     from ..models.vitpose import vitpose_forward
 
     def step(state, batch):
+        batch = render_batch_on_device(batch, render_kwargs)
         params = merge_bn_state(state["params"], state["bn_state"])
         fwd_params = cast_params(params, jnp.bfloat16) if use_amp else params
         x = batch["images"].astype(jnp.bfloat16 if use_amp else jnp.float32)
@@ -358,7 +391,7 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
                             block_impl: str = "pallas_train",
                             donate_state: bool = True,
                             ema_decay: float = 0.0,
-                            grad_accum: int = 1):
+                            grad_accum: int = 1, render_kwargs: Dict = None):
     """Data-parallel train step via ``shard_map`` (explicit SPMD).
 
     The GSPMD wrapper (``jit_data_parallel``) relies on XLA's sharding
@@ -416,6 +449,9 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
         return loss, jax.tree.map(jnp.asarray, new_bn), grads
 
     def device_step(state, batch, masks):
+        # raw device-input batches expand per-shard (each device renders
+        # only its own rows — the render partitions with the batch)
+        batch = render_batch_on_device(batch, render_kwargs)
         if k == 1:
             loss, new_bn, grads = grad_one(state["params"],
                                            state["bn_state"], batch, masks)
@@ -464,7 +500,7 @@ def make_train_step_sharded(cfg: ModelConfig, tx: optax.GradientTransformation,
     )
 
     def step(state, batch, rng):
-        B = batch["images"].shape[0]
+        B = _batch_rows(batch)
         masks = draw_drop_path_masks(rng, cfg.backbone, B)
         return inner(state, batch, masks)
 

@@ -56,13 +56,18 @@ def main():
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for the train state (0=off) — measures "
                          "the shadow-weight HBM-pass overhead")
+    ap.add_argument("--ab-input", action="store_true",
+                    help="A/B the device-input raw batch (uint8 crops + "
+                         "joint coords, normalize + Gaussian targets "
+                         "rendered in-step) vs the same batch pre-rendered "
+                         "on the host — measures the in-jit render cost")
     ap.add_argument("--grad-check", action="store_true",
                     help="before timing, check fused-block grads vs the "
                          "XLA block ON THIS BACKEND (catches TPU-only "
                          "pipelining bugs the CPU interpret tests cannot)")
     args = ap.parse_args()
     if args.ema and any((args.ab, args.ab_wide, args.ab_attn, args.ab_mlp,
-                         args.ab_opt)):
+                         args.ab_opt, args.ab_input)):
         # the B step is built without ema_decay — the pair would confound
         # block/flavor deltas with the EMA pass
         ap.error("--ema cannot be combined with --ab* modes")
@@ -231,17 +236,34 @@ def main():
 
     B, K = args.batch, cfg.head.num_keypoints
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(rng.normal(0, 1, (B, 256, 192, 3))
-                              .astype(np.float32)),
-        "targets": jnp.asarray(rng.uniform(0, 1, (B, K, 64, 48))
-                               .astype(np.float32)),
-        "target_weights": jnp.asarray(np.ones((B, K, 1), np.float32)),
-    }
+    if args.ab_input:
+        # raw (device-input) batch and its exact host-rendered twin — same
+        # work for both steps, so the delta is the in-jit render alone
+        from easy_vitpose_tpu.train.step import render_batch_on_device
+        batch_raw = {
+            "images_u8": jnp.asarray(rng.integers(
+                0, 256, (B, 256, 192, 3)).astype(np.uint8)),
+            "joints": jnp.asarray(
+                (rng.uniform(0, 1, (B, K, 2))
+                 * np.array([192, 256])).astype(np.float32)),
+            "joints_vis": jnp.asarray(np.ones((B, K, 2), np.float32)),
+        }
+        batch = jax.tree.map(jnp.asarray, jax.device_get(
+            jax.jit(render_batch_on_device)(batch_raw)))
+        batch_a = batch_raw
+    else:
+        batch = {
+            "images": jnp.asarray(rng.normal(0, 1, (B, 256, 192, 3))
+                                  .astype(np.float32)),
+            "targets": jnp.asarray(rng.uniform(0, 1, (B, K, 64, 48))
+                                   .astype(np.float32)),
+            "target_weights": jnp.asarray(np.ones((B, K, 1), np.float32)),
+        }
+        batch_a = batch
     key = jax.random.PRNGKey(1)
 
     t0 = time.perf_counter()
-    state, metrics = step(state, batch, key)
+    state, metrics = step(state, batch_a, key)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"loss={float(metrics['loss']):.5f}", flush=True)
 
@@ -293,6 +315,18 @@ def main():
         jax.block_until_ready(sb)
         os.environ.pop("EVT_TRAIN_MLP", None)
         print("recompute-mlp baseline compiled", flush=True)
+    elif args.ab_input:
+        # same step config; B consumes the pre-rendered batch (the jit
+        # specializes per batch structure, so this is a second cache entry)
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"
+                                         if args.fused else "xla"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        print("host-rendered baseline compiled", flush=True)
     elif args.ab_opt:
         # fused-opt step (A, already built above) vs the optax chain (B)
         tx_b = make_optimizer(5e-4)
@@ -310,7 +344,7 @@ def main():
     for rep in range(args.reps):
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, metrics = step(state, batch, key)
+            state, metrics = step(state, batch_a, key)
         float(metrics["loss"])  # single fetch = hard sync
         dt = (time.perf_counter() - t0) / args.steps
         times.append(dt * 1e3)
@@ -324,7 +358,8 @@ def main():
             times_b.append(dtb * 1e3)
             blabel = ("recompute" if args.ab_wide or args.ab_attn
                       or args.ab_mlp
-                      else "optax" if args.ab_opt else "xla")
+                      else "optax" if args.ab_opt
+                      else "rendered" if args.ab_input else "xla")
             line += f"  | {blabel} {dtb * 1e3:7.2f} ms"
         print(line, flush=True)
 
@@ -339,7 +374,8 @@ def main():
         medb = float(np.median(times_b))
         bkey = ("recompute" if args.ab_wide or args.ab_attn
                 or args.ab_mlp
-                else "optax" if args.ab_opt else "xla")
+                else "optax" if args.ab_opt
+                else "rendered" if args.ab_input else "xla")
         result[f"{bkey}_ms_per_step"] = round(medb, 2)
         result[f"speedup_vs_{bkey}"] = round(medb / med, 3)
     print(json.dumps(result))
