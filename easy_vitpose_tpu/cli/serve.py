@@ -82,8 +82,13 @@ def main(argv=None):
     detector = None
     if args.yolo:
         from ..detect.yolo import YoloDetector
+        from ..track.bytetrack import LOW_THRESHOLD
+        # bytetrack needs the low-confidence band past the detector's NMS
+        # gate (the BYTE second association consumes it; track/bytetrack.py)
+        det_conf = LOW_THRESHOLD if args.tracker == "bytetrack" else 0.25
         detector = YoloDetector(args.yolo, imgsz=args.yolo_size,
-                                classes=(0,), dtype=dtype, rect=True)
+                                classes=(0,), conf=det_conf, dtype=dtype,
+                                rect=True)
 
     mesh = None
     if args.shard_streams:

@@ -105,8 +105,10 @@ def main(argv=None):
     p.add_argument("--device-input", action="store_true",
                    help="ship uint8 crops + joint coords and render "
                         "normalization + Gaussian targets inside the jitted "
-                        "train step (~6.5x fewer host->device bytes, ~40% "
-                        "less host loader CPU; numerics identical)")
+                        "train step (measured: 5.4x fewer host->device "
+                        "bytes, 3.05x loader samples/s; numerics equal to "
+                        "the host path within 1e-6 — the host Gaussian is "
+                        "rendered in f64, the device twin in f32)")
     p.add_argument("--resilient", action="store_true",
                    help="auto-resume from the newest full train state on "
                         "transient failures (train/resilient.py); SIGTERM "

@@ -204,8 +204,15 @@ class VitInference:
             # arbitrary mixed-AR stills (e.g. COCO eval).
             if yolo_rect is None:
                 yolo_rect = is_video
+            # bytetrack needs the full low-confidence band: the detector's
+            # default 0.25 NMS gate would discard [low_thresh, 0.25) boxes
+            # on device before the BYTE second association saw them
+            from ..track.bytetrack import LOW_THRESHOLD
+            det_conf = (LOW_THRESHOLD if self.tracker_type == "bytetrack"
+                        else 0.25)
             self._detector = YoloDetector(yolo, imgsz=yolo_size,
                                           classes=self.yolo_classes,
+                                          conf=det_conf,
                                           dtype=self.compute_dtype,
                                           device=self._jax_device,
                                           rect=yolo_rect)
@@ -234,6 +241,8 @@ class VitInference:
         if self.tracker is not None:
             self.tracker.max_age = step
             self.tracker.min_hits = 3 if step == 1 else 1
+            if hasattr(self.tracker, "det_stride"):
+                self.tracker.det_stride = step
 
     @property
     def has_detector(self) -> bool:
@@ -251,7 +260,8 @@ class VitInference:
             from ..track.bytetrack import ByteTrack
             self.tracker = ByteTrack(max_age=self.yolo_step,
                                      min_hits=min_hits, iou_threshold=0.3,
-                                     high_thresh=YOLO_CONF_THRESHOLD)
+                                     high_thresh=YOLO_CONF_THRESHOLD,
+                                     det_stride=self.yolo_step)
         else:
             self.tracker = Sort(max_age=self.yolo_step, min_hits=min_hits,
                                 iou_threshold=0.3)

@@ -72,7 +72,8 @@ class MultiStreamPose:
             from ..track.bytetrack import ByteTrack
             self.trackers = [ByteTrack(max_age=yolo_step,
                                        min_hits=3 if yolo_step == 1 else 1,
-                                       iou_threshold=0.3, high_thresh=0.35)
+                                       iou_threshold=0.3, high_thresh=0.35,
+                                       det_stride=yolo_step)
                              for _ in range(n_streams)]
             self._det_gate = self.trackers[0].low_thresh
         else:

@@ -88,13 +88,18 @@ class Sort:
         self.hits = np.zeros((0,), np.int32)
         self.hit_streak = np.zeros((0,), np.int32)
         self.time_since_update = np.zeros((0,), np.int32)
+        # sticky per-track flag: has this track ever been emitted (passed
+        # the min_hits warm-up)?  Sort itself never reads it; ByteTrack's
+        # second association is restricted to confirmed tracks so a
+        # low-confidence box can never supply the confirming hit
+        self.confirmed = np.zeros((0,), bool)
 
     def __len__(self):
         return len(self.ids)
 
     def _keep(self, keep: np.ndarray):
         for name in ("x", "P", "ids", "scores", "hits", "hit_streak",
-                     "time_since_update"):
+                     "time_since_update", "confirmed"):
             setattr(self, name, getattr(self, name)[keep])
 
     # --- stages (shared with track/bytetrack.py, which recomposes them) ---
@@ -144,6 +149,7 @@ class Sort:
             self.hit_streak = np.concatenate([self.hit_streak, [0]])
             self.time_since_update = np.concatenate(
                 [self.time_since_update, [0]])
+            self.confirmed = np.concatenate([self.confirmed, [False]])
             self._next_id += 1
 
     def _emit_and_retire(self, empty_dets: bool) -> np.ndarray:
@@ -152,13 +158,14 @@ class Sort:
         tracks older than max_age."""
         boxes = kalman.x_to_bbox(self.x) if len(self) else \
             np.zeros((0, 4), np.float32)
-        confirmed = (self.time_since_update < 1) & (
+        emit = (self.time_since_update < 1) & (
             (self.hit_streak >= self.min_hits)
             | (self.frame_count <= self.min_hits))
+        self.confirmed = self.confirmed | emit
         rows = np.concatenate(
             [boxes, self.scores[:, None],
              self.ids[:, None].astype(np.float32)], axis=1)
-        ret = rows[confirmed]
+        ret = rows[emit]
         coasted = rows if empty_dets else None
 
         self._keep(self.time_since_update <= self.max_age)

@@ -84,8 +84,9 @@ class CocoPoseDataset:
         # device_input: __getitem__ skips normalization + target rendering
         # and ships the warped uint8 crop + joint coords; the jitted train
         # step renders targets on device (train/step.py
-        # render_batch_on_device) — ~6.5x fewer host->device bytes and ~40%
-        # less host loader CPU per sample (scripts/bench_loader.py)
+        # render_batch_on_device) — measured 5.4x fewer host->device bytes
+        # and 3.05x loader samples/s per worker (scripts/bench_loader.py,
+        # PERF.md "Input pipeline")
         self.device_input = device_input
         self.rng = random.Random(seed)
 

@@ -105,6 +105,56 @@ def test_second_association_uses_stricter_iou():
     assert int(bt.time_since_update[0]) == 1  # track coasted, not updated
 
 
+def test_low_conf_never_confirms_warming_up_track():
+    """A warming-up track (hit_streak < min_hits, never emitted) is excluded
+    from the second association: a low box can neither advance its warm-up
+    nor make it emit carrying the low score."""
+    bt = ByteTrack(max_age=3, min_hits=3, iou_threshold=0.3)
+    # push frame_count past min_hits first so the early-video emission
+    # clause (frame_count <= min_hits) can't confirm anything
+    for _ in range(4):
+        bt.update(np.empty((0, 5), np.float32))
+    x, y = drift(0)
+    bt.update(np.array([box(x, y, s=0.9)], np.float32))   # spawn (streak 0)
+    x, y = drift(1)
+    bt.update(np.array([box(x, y, s=0.9)], np.float32))   # streak 1 < 3
+    assert not bt.confirmed[0]
+    streak_before = int(bt.hit_streak[0])
+    x, y = drift(2)
+    out = bt.update(np.array([box(x, y, s=0.2)], np.float32))  # low only
+    assert len(out) == 0                       # never emitted on a low box
+    assert len(bt) == 1 and not bt.confirmed[0]
+    # excluded from the second association entirely: not updated, coasting
+    assert int(bt.time_since_update[0]) == 1
+    assert int(bt.hit_streak[0]) <= streak_before
+
+
+def test_rescue_at_detector_cadence():
+    """yolo_step > 1: the pipeline calls update(empty) on skipped frames, so
+    on detector frames every track has tsu == yolo_step.  With
+    det_stride=yolo_step the BYTE rescue still fires; with the default
+    stride 1 it must not (cadence-unaware config degenerates to SORT)."""
+    def run(det_stride):
+        bt = ByteTrack(max_age=2, min_hits=1, iou_threshold=0.3,
+                       det_stride=det_stride)
+        emitted = []
+        for t in range(14):
+            if t % 2 == 1:                    # skipped-detector frame
+                out = bt.update(np.empty((0, 5), np.float32))
+            else:
+                x, y = drift(t)
+                s = 0.2 if 4 <= t <= 10 else 0.9   # blur window
+                out = bt.update(np.array([box(x, y, s=s)], np.float32))
+            if len(out):
+                emitted.extend(out[:, 5].astype(int).tolist())
+        return emitted
+
+    aware = run(det_stride=2)
+    assert len(set(aware)) == 1, f"identity switched: {set(aware)}"
+    unaware = run(det_stride=1)
+    assert len(set(unaware)) >= 2, "scenario too easy: stride-1 kept the id"
+
+
 def test_pipeline_reset_builds_selected_tracker():
     from easy_vitpose_tpu.pipeline.inference import VitInference
     inst = object.__new__(VitInference)   # wiring test: skip model loading
@@ -116,6 +166,9 @@ def test_pipeline_reset_builds_selected_tracker():
     assert isinstance(inst.tracker, ByteTrack)
     assert inst.tracker.max_age == 2 and inst.tracker.min_hits == 1
     assert inst.tracker.high_thresh == 0.35
+    assert inst.tracker.det_stride == 2      # cadence-aware BYTE rescue
+    VitInference.set_yolo_step(inst, 3)
+    assert inst.tracker.det_stride == 3 and inst.tracker.max_age == 3
     # the detector gate drops to low_thresh so BYTE sees the weak boxes
     rows = np.array([[0, 0, 10, 10, 0.2, 0.0],
                      [0, 0, 10, 10, 0.05, 0.0]], np.float32)

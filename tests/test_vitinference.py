@@ -190,6 +190,22 @@ def test_yolo_rect_default_follows_video_mode(ckpt_npz, yolo_npz):
     assert isinstance(out, dict)
 
 
+def test_bytetrack_mode_lowers_detector_nms_gate(ckpt_npz, yolo_npz):
+    """tracker='bytetrack' must construct the detector with its NMS conf
+    threshold at the BYTE low gate — the default 0.25 would discard the
+    [low_thresh, 0.25) band on device before the tracker saw it."""
+    from easy_vitpose_tpu.track.bytetrack import LOW_THRESHOLD
+    bt = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                      model_cfg=CASES["tiny"], is_video=True,
+                      tracker="bytetrack")
+    st = VitInference(ckpt_npz, yolo=yolo_npz, model_name="s",
+                      model_cfg=CASES["tiny"], is_video=True)
+    assert bt._detector.conf == LOW_THRESHOLD == bt.tracker.low_thresh
+    assert st._detector.conf == 0.25
+    out = bt.inference(_frame())          # the lowered gate runs end-to-end
+    assert isinstance(out, dict)
+
+
 def test_pipelined_video_inference_matches_sync(ckpt_npz, yolo_npz):
     """inference_pipelined returns inference()'s exact results one frame
     late (detector overlapped with the previous frame's pose)."""
