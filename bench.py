@@ -1,12 +1,17 @@
 """Headline benchmark: ViT-B 256x192 pose crops/sec/chip, end-to-end.
 
 Measures the fused pose step (on-device crop sampling from a 1080p frame +
-ViT-B forward + deconv head + UDP decode + un-crop) in bf16 with a full
-64-person slot batch — the serving configuration.  Prints ONE JSON line:
+ViT-B forward + deconv head + UDP decode + un-crop) with a full 64-person
+slot batch — the serving configuration.  Default dtype is int8 (W8A8
+quantized blocks, models/quant.py), the shipping serving config: its AP is
+gated within the 0.3-point parity envelope of bf16 by the memorized-model
+COCO proxy (scripts/validate_e2e.py; docs/QUANTIZATION.md has the numbers).
+Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
 
 Baseline: BASELINE.json north star = 500 crops/sec/chip (TPU v5e).
-Usage: python bench.py [--slots 64] [--frames 40] [--size b] [--fp32]
+Usage: python bench.py [--slots 64] [--frames 40] [--size b]
+                       [--dtype int8|bf16|fp32]
 
 Timing method: n dependent frame steps (each step's keypoints feed, with
 zero weight, into the next step's boxes) and a single final scalar fetch.
@@ -36,7 +41,11 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="timed repetitions; the best is reported")
     ap.add_argument("--size", default="b", choices=["s", "b", "l", "h"])
-    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--dtype", default="int8",
+                    choices=["int8", "bf16", "fp32"],
+                    help="int8 = W8A8 quantized serving (AP-gated vs bf16)")
+    ap.add_argument("--fp32", action="store_true",
+                    help="alias for --dtype fp32")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     args = ap.parse_args()
@@ -69,10 +78,16 @@ def main():
     from easy_vitpose_tpu.pipeline.pose_step import (default_block_impl,
                                                      pose_step_jit)
 
+    if args.fp32:
+        args.dtype = "fp32"
     cfg = get_model_config("coco", args.size)
-    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    quant = args.dtype == "int8"
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
-    if dtype == jnp.bfloat16:
+    if quant:
+        from easy_vitpose_tpu.models.quant import quantize_vit_params
+        params = quantize_vit_params(params, jnp.bfloat16)
+    elif dtype == jnp.bfloat16:
         params = cast_params(params, dtype)
 
     H, W, M = args.height, args.width, args.slots
@@ -86,6 +101,8 @@ def main():
     mask = jnp.ones((M,), bool)
 
     block_impl = default_block_impl(compute_dtype=dtype)
+    if quant:
+        block_impl = ("pallas_q8" if block_impl == "pallas" else "xla_q8")
 
     def chain(n):
         b = boxes
@@ -107,10 +124,10 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     crops_per_sec = args.frames * M / dt
+    dtype_tag = ("int8 W8A8, AP-gated vs bf16" if quant else args.dtype)
     result = {
         "metric": f"vitpose-{args.size} 256x192 e2e pose crops/sec/chip "
-                  f"(fused crop+forward+decode, "
-                  f"{'fp32' if args.fp32 else 'bf16'}, "
+                  f"(fused crop+forward+decode, {dtype_tag}, "
                   f"{M} crops/frame, {W}x{H} frame)",
         "value": round(crops_per_sec, 2),
         "unit": "crops/sec/chip",

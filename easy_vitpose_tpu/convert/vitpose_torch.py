@@ -44,10 +44,74 @@ def normalize_state_dict(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
+def expected_vitpose_keys(cfg: ModelConfig):
+    """The exact single-task state-dict key set :func:`convert_vitpose_state_dict`
+    consumes for ``cfg`` (required, optional) — optional keys are torch
+    bookkeeping buffers the math never reads (num_batches_tracked)."""
+    req = {"backbone.patch_embed.proj.weight",
+           "backbone.patch_embed.proj.bias",
+           "backbone.pos_embed",
+           "backbone.last_norm.weight", "backbone.last_norm.bias"}
+    for i in range(cfg.backbone.depth):
+        p = f"backbone.blocks.{i}"
+        for mod in (".attn.qkv", ".attn.proj", ".mlp.fc1", ".mlp.fc2",
+                    ".norm1", ".norm2"):
+            req.add(p + mod + ".weight")
+            req.add(p + mod + ".bias")
+    opt = set()
+    for i in range(len(cfg.head.deconv_kernels)):
+        req.add(f"keypoint_head.deconv_layers.{3 * i}.weight")
+        bn = f"keypoint_head.deconv_layers.{3 * i + 1}"
+        req |= {bn + ".weight", bn + ".bias",
+                bn + ".running_mean", bn + ".running_var"}
+        opt.add(bn + ".num_batches_tracked")
+    req |= {"keypoint_head.final_layer.weight",
+            "keypoint_head.final_layer.bias"}
+    return req, opt
+
+
+def audit_state_dict_keys(sd: Mapping[str, Any], cfg: ModelConfig) -> None:
+    """Fail loud on key-coverage drift (the reference loader's
+    missing/unexpected-key report, reference vit_utils/util.py:160-171,
+    hardened into an error).
+
+    A checkpoint with EXTRA non-buffer tensors (a layer-scale gamma, split
+    q/v biases from an mmpose variant, an unexpected depth) would otherwise
+    be silently mis-converted — the converter indexes only expected keys —
+    and the drift would surface only as an accuracy gap downstream.
+    """
+    req, opt = expected_vitpose_keys(cfg)
+    have = set(sd)
+    missing = sorted(req - have)
+    unexpected = sorted(have - req - opt)
+    if missing or unexpected:
+        msg = [f"checkpoint layout does not match config {cfg.name!r}:"]
+        if missing:
+            msg.append(f"  missing {len(missing)} expected key(s): "
+                       + ", ".join(missing[:8])
+                       + (" ..." if len(missing) > 8 else ""))
+        if unexpected:
+            msg.append(f"  unexpected {len(unexpected)} source key(s) the "
+                       "converter would silently drop: "
+                       + ", ".join(unexpected[:8])
+                       + (" ..." if len(unexpected) > 8 else ""))
+        msg.append("  (pass strict=False to convert anyway, dropping the "
+                   "unexpected keys; ViTPose+ MoE checkpoints go through "
+                   "'cli/convert plus' or convert/model_split.py instead)")
+        raise ValueError("\n".join(msg))
+
+
 def convert_vitpose_state_dict(sd: Mapping[str, Any], cfg: ModelConfig,
-                               dtype=np.float32) -> Dict[str, Any]:
-    """Convert a reference-format state dict to our params pytree."""
+                               dtype=np.float32,
+                               strict: bool = True) -> Dict[str, Any]:
+    """Convert a reference-format state dict to our params pytree.
+
+    ``strict`` (default) audits key coverage first — any missing expected
+    key or unexpected non-buffer source key is a hard error naming the
+    keys (see :func:`audit_state_dict_keys`)."""
     sd = normalize_state_dict(sd)
+    if strict:
+        audit_state_dict_keys(sd, cfg)
     bb = cfg.backbone
     D = bb.embed_dim
 
@@ -119,11 +183,15 @@ def _stack_blocks(blocks):
     return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
 
-def load_torch_checkpoint(path: str, cfg: ModelConfig, dtype=np.float32):
-    """Load a reference .pth checkpoint into a params pytree (requires torch)."""
+def load_torch_checkpoint(path: str, cfg: ModelConfig, dtype=np.float32,
+                          strict: bool = True):
+    """Load a reference .pth checkpoint into a params pytree (requires torch).
+
+    ``strict`` audits key coverage (missing/unexpected keys are a hard
+    error; reference's loader only prints them, vit_utils/util.py:160-171)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_vitpose_state_dict(ckpt, cfg, dtype=dtype)
+    return convert_vitpose_state_dict(ckpt, cfg, dtype=dtype, strict=strict)
 
 
 def export_vitpose_state_dict(params: Mapping[str, Any],

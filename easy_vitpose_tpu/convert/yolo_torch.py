@@ -41,9 +41,10 @@ def _fold_conv_bn(sd: Mapping[str, np.ndarray], conv_prefix: str,
 
 def _plain_conv(sd: Mapping[str, np.ndarray], prefix: str
                 ) -> Dict[str, np.ndarray]:
+    # the detect-head final 1x1s always carry biases in ultralytics — a
+    # missing one means layout drift, so no silent zero-fill here
     w = _np(sd[prefix + ".weight"])
-    b_key = prefix + ".bias"
-    b = _np(sd[b_key]) if b_key in sd else np.zeros(w.shape[0], np.float32)
+    b = _np(sd[prefix + ".bias"])
     return {"w": w.transpose(2, 3, 1, 0).astype(np.float32),
             "b": b.astype(np.float32)}
 
@@ -68,10 +69,48 @@ def infer_scale(sd: Mapping[str, Any]) -> str:
     return {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[c0]
 
 
+class _TrackedDict:
+    """Mapping shim that records consumed keys and names missing ones —
+    the converter indexes only expected keys, so without this audit an
+    extra source tensor (wrong scale's depths, an architecture variant)
+    would be silently dropped (reference's loader at least prints
+    missing/unexpected keys, vit_utils/util.py:160-171)."""
+
+    def __init__(self, sd):
+        self._sd = sd
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        try:
+            return self._sd[k]
+        except KeyError:
+            raise KeyError(
+                f"YOLO checkpoint is missing expected key {k!r} — wrong "
+                f"--scale/depths for this architecture?") from None
+
+    def __contains__(self, k):
+        self.consumed.add(k)
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+
+# buffers/constants the math never needs: BN step counters, and the DFL
+# 1x1 conv whose weight is the fixed arange(reg_max) expectation filter —
+# detect/yolo.py computes the DFL expectation directly
+_TOLERATED_UNCONSUMED = (".num_batches_tracked",)
+_TOLERATED_KEYS = frozenset({"model.22.dfl.conv.weight"})
+
+
 def convert_yolo_state_dict(sd: Mapping[str, Any],
-                            spec: YoloSpec) -> Dict[str, Any]:
+                            spec: YoloSpec,
+                            strict: bool = True) -> Dict[str, Any]:
     sd = {k[len("model."):] if k.startswith("model.model.") else k: v
           for k, v in sd.items()}
+    if strict:
+        sd = _TrackedDict(sd)
     dps = spec.depths
     model: Dict[str, Any] = {}
     for i in ("0", "1", "3", "5", "7", "16", "19"):
@@ -97,6 +136,19 @@ def convert_yolo_state_dict(sd: Mapping[str, Any],
             _plain_conv(sd, f"model.22.cv3.{li}.2"),
         ])
     model["22"] = det
+    if strict:
+        unconsumed = sorted(
+            k for k in sd if k not in sd.consumed
+            and not k.endswith(_TOLERATED_UNCONSUMED)
+            and k not in _TOLERATED_KEYS)
+        if unconsumed:
+            raise ValueError(
+                f"YOLO checkpoint has {len(unconsumed)} source key(s) the "
+                f"converter would silently drop (scale {spec.scale!r} "
+                f"depths mismatch or an architecture variant): "
+                + ", ".join(unconsumed[:8])
+                + (" ..." if len(unconsumed) > 8 else "")
+                + "  (pass strict=False to drop them anyway)")
     return {"model": model}
 
 

@@ -46,6 +46,40 @@ def conv_transpose_s2(x: jnp.ndarray, w: jnp.ndarray, kernel: int) -> jnp.ndarra
     )
 
 
+def conv_transpose_s2_phase(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Sub-pixel (phase-decomposed) twin of :func:`conv_transpose_s2` for
+    k=4: mathematically the same sums, 4x fewer MACs.
+
+    The lhs-dilated lowering convolves a 2x-dilated input whose elements are
+    3/4 zeros with the full 4x4 kernel.  But each output pixel y[2i+r, 2j+c]
+    only ever touches the taps w[2dr+r, 2dc+c] (the dilation parity kills
+    the rest), so the deconv is exactly ONE dense 2x2 conv producing all
+    four phases as 4*Cout channels, then a pixel-shuffle interleave:
+
+        y[2i+r, 2j+c] = sum_{dr,dc} x[i-1+dr, j-1+dc] * w[2dr+r, 2dc+c]
+
+    MXU-shaped: a single (B*(H+1)*(W+1)) x (4*Cin) x (4*Cout) matmul-conv
+    with zero wasted multiplies, and its VJP is dilation-free too (a plain
+    VALID k2 conv backward), which is what makes the TRAINING head cheap.
+    """
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    # (4, 4, Cin, Cout) -> (dr, r, dc, c, Cin, Cout) -> k2 kernel with the
+    # phase axis folded into the output channels as (r, c, Cout)
+    w6 = w.reshape(2, 2, 2, 2, Cin, Cout)
+    k2 = jnp.transpose(w6, (0, 2, 4, 1, 3, 5)).reshape(2, 2, Cin, 4 * Cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, k2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))     # (B, H+1, W+1, 4C)
+    y = y.reshape(B, H + 1, W + 1, 2, 2, Cout)
+    # phase (r, c) lives at conv output offset (r, c)
+    phases = jnp.stack(
+        [jnp.stack([y[:, r:H + r, c:W + c, r, c] for c in (0, 1)], axis=3)
+         for r in (0, 1)], axis=2)                      # (B, H, 2, W, 2, C)
+    return phases.reshape(B, 2 * H, 2 * W, Cout)
+
+
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            padding: str = "SAME") -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
@@ -92,16 +126,23 @@ def batch_norm(x: jnp.ndarray, p: Params, *, train: bool,
 
 def head_forward(params: Params, x: jnp.ndarray, cfg: HeadConfig,
                  *, train: bool = False,
-                 axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, Params]:
+                 axis_name: Optional[str] = None,
+                 deconv_impl: str = "phase") -> Tuple[jnp.ndarray, Params]:
     """(B, Hp, Wp, D) features -> (B, 4*Hp, 4*Wp, K) heatmaps (NHWC).
 
     Returns (heatmaps, new_bn_state) where new_bn_state mirrors
     ``params['bn_state']`` (running mean/var per deconv stage).
     ``axis_name``: see :func:`batch_norm` (global BN stats under shard_map).
+    ``deconv_impl``: 'phase' (default; sub-pixel decomposition, 4x fewer
+    MACs, see :func:`conv_transpose_s2_phase`) or 'dilated' (the direct
+    lhs-dilated lowering).  Equal to float-reorder noise (~4e-7 rel).
     """
     new_bn = []
     for i, k in enumerate(cfg.deconv_kernels):
-        x = conv_transpose_s2(x, params["deconv"][i]["w"], k)
+        if deconv_impl == "phase" and k == 4:
+            x = conv_transpose_s2_phase(x, params["deconv"][i]["w"])
+        else:
+            x = conv_transpose_s2(x, params["deconv"][i]["w"], k)
         y, st = batch_norm(x, {**params["deconv"][i]["bn"],
                                **params["bn_state"][i]}, train=train,
                            axis_name=axis_name)

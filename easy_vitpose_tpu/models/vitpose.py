@@ -23,12 +23,14 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                     rng: Optional[jax.Array] = None,
                     attn_impl: str = "einsum",
                     unroll: bool = False,
-                    block_impl: str = "xla") -> jnp.ndarray:
+                    block_impl: str = "xla",
+                    deconv_impl: str = "phase") -> jnp.ndarray:
     """(B, 256, 192, 3) normalized NHWC crops -> (B, K, 64, 48) heatmaps."""
     feats = vit_forward(params["backbone"], x, cfg.backbone, train=train,
                         rng=rng, attn_impl=attn_impl, unroll=unroll,
                         block_impl=block_impl)
-    heat, _ = head_forward(params["head"], feats, cfg.head, train=False)
+    heat, _ = head_forward(params["head"], feats, cfg.head, train=False,
+                           deconv_impl=deconv_impl)
     return jnp.transpose(heat, (0, 3, 1, 2))
 
 

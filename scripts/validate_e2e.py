@@ -136,7 +136,33 @@ def main(epochs: int = 400, ap_gate: float = 0.5):
           f"AP@.50 = {bstats['AP .5']:.3f}")
     assert bstats["AP .5"] > 0.95, "batched-lane geometry inconsistency!"
     assert bstats["AP"] >= stats["AP"] - 0.05
-    print("E2E GEOMETRY VALIDATION PASSED (pipeline + batched lanes)")
+
+    # Quantization AP gate (docs/QUANTIZATION.md): the int8 (W8A8) serving
+    # path must hold AP within the parity envelope of the bf16 path on the
+    # memorized model.  BASELINE's checkpoint-parity envelope is 0.3 AP
+    # points (0.003 on the 0-1 scale); the tiny 2-layer model is a HARSHER
+    # quantization subject than production ViT-B (fewer channels to average
+    # error over), so passing here bounds the serving configs.  The int8
+    # XLA twin (models/quant.py xla_q8) runs this on CPU.
+    qstats = {}
+    for dt in ("bf16", "int8"):
+        qstats[dt] = ec.main([
+            "--ann", f"{root}/annotations/person_keypoints_train2017.json",
+            "--imgdir", f"{root}/train2017", "--model", ckpt,
+            "--model-name", "s", "--dataset", "coco",
+            "--gt-crops-batched", "3", "--dtype", dt,
+            "--out", f"{root}/results_{dt}.json"], model_cfg=TINY)
+        print(f"{dt}-lane AP = {qstats[dt]['AP']:.4f}   "
+              f"AP@.50 = {qstats[dt]['AP .5']:.4f}")
+    d_bf16 = qstats["bf16"]["AP"] - bstats["AP"]
+    d_int8 = qstats["int8"]["AP"] - qstats["bf16"]["AP"]
+    print(f"AP deltas: bf16-fp32 {d_bf16:+.4f}   int8-bf16 {d_int8:+.4f}")
+    assert qstats["bf16"]["AP .5"] > 0.95 and qstats["int8"]["AP .5"] > 0.95
+    assert abs(d_int8) <= 0.003, \
+        f"int8 AP drift {d_int8:+.4f} exceeds the 0.3-point parity envelope"
+    print("E2E GEOMETRY VALIDATION PASSED "
+          "(pipeline + batched + bf16 + int8 lanes)")
+    return {"fp32": bstats, **qstats}
 
 
 if __name__ == "__main__":
