@@ -323,12 +323,14 @@ def letterbox_sample(frame: jnp.ndarray, canvas_wh, r: float, new_w: int,
     return jnp.where(mask, out, LETTERBOX_FILL)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "geom", "spec", "imgsz", "classes", "conf_t", "iou_t", "max_det", "dtype"))
-def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
-                     classes, conf_t: float, iou_t: float, max_det: int,
-                     dtype):
-    """Single fused program: letterbox -> YOLO -> decode -> NMS -> un-letterbox."""
+def detect_frame_core(params, frame, geom, spec: YoloSpec, imgsz: int,
+                      classes, conf_t: float, iou_t: float, max_det: int,
+                      dtype):
+    """Traceable detect core: letterbox -> YOLO -> decode -> NMS ->
+    un-letterbox -> (max_det, 7) packed [x1,y1,x2,y2,conf,cls,valid],
+    score-sorted with the valid rows compacted to a prefix.  Shared by
+    detect_frame_jit and the fused detect+pose program
+    (pipeline/fused_detect.py)."""
     r, new_w, new_h, left, top, cw, ch = geom
     img = letterbox_sample(frame, (cw, ch), r, new_w, new_h, left, top)
     x = (img / 255.0).astype(dtype)[None]
@@ -348,6 +350,16 @@ def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
     # separate fetches cost four
     return jnp.concatenate([b, s[:, None], c.astype(jnp.float32)[:, None],
                             v.astype(jnp.float32)[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "spec", "imgsz", "classes", "conf_t", "iou_t", "max_det", "dtype"))
+def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
+                     classes, conf_t: float, iou_t: float, max_det: int,
+                     dtype):
+    """Single fused program: letterbox -> YOLO -> decode -> NMS -> un-letterbox."""
+    return detect_frame_core(params, frame, geom, spec, imgsz, classes,
+                             conf_t, iou_t, max_det, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -61,7 +61,8 @@ class VitInference:
                  task: Optional[str] = None,
                  smooth: bool = False,
                  smooth_params: Optional[dict] = None,
-                 tracker: str = "sort"):
+                 tracker: str = "sort",
+                 single_dispatch: bool = False):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -83,6 +84,14 @@ class VitInference:
         self._smoothers = {}
         self.single_pose = single_pose
         self.max_people = max_people
+        # Fuse detector + pose into ONE program on detection frames
+        # (pipeline/fused_detect.py): one dispatch + one fetch instead of
+        # two of each.  Slot count is pinned to fixed_slots or max_people
+        # (static shape — no fetch-before-shape dependency).  Tracker-less
+        # modes are exact; in video tracker mode pose runs on the RAW
+        # detection boxes instead of the Kalman-updated ones (IDs
+        # identical; sub-pixel crop shift on the keypoints).
+        self.single_dispatch = single_dispatch
         # 'sort' (reference behaviour) | 'bytetrack' (BYTE second
         # association: low-confidence detections sustain — never create —
         # tracks; see track/bytetrack.py)
@@ -313,6 +322,9 @@ class VitInference:
 
         Returns {person_id: (K, 3) float32 (y, x, score)}.
         """
+        if (bboxes is None and self.single_dispatch
+                and self._detector is not None and self._detect_due()):
+            return self._inference_fused(img)
         res_pd = np.empty((0, 5), np.float32)
         results = None
         # upload the frame once; detector and pose step share the buffer
@@ -328,6 +340,102 @@ class VitInference:
                 res_pd = self._filter_dets(results)
         self.frame_counter += 1
         return self._track_and_pose(img, frame_dev, res_pd, results)
+
+    def _inference_fused(self, img: np.ndarray) -> Dict[Any, np.ndarray]:
+        """Single-dispatch detection frame: detector + pose in ONE jitted
+        program, keypoints keyed to tracks AFTER the (single) fetch.  See
+        pipeline/fused_detect.py for the semantics contract."""
+        from ..detect.yolo import YoloDetector, letterbox_geometry
+        from .fused_detect import detect_pose_jit
+        det = self._detector
+        frame_dev = jnp.asarray(img)
+        H, W = img.shape[:2]
+        geom = letterbox_geometry(H, W, det.imgsz, rect=det.rect)
+        slots = self.fixed_slots or self.max_people
+        gate = (self.tracker.low_thresh
+                if self.tracker is not None
+                and self.tracker_type == "bytetrack"
+                else YOLO_CONF_THRESHOLD)
+        packed_dev, kpts_dev = detect_pose_jit(
+            det.params, self._params, frame_dev, geom, det.spec, det.imgsz,
+            det.classes, det.conf, det.iou, det.max_det, det.dtype,
+            self.cfg, slots, gate, compute_dtype=self.compute_dtype,
+            flip_pairs=self._flip_pairs, sampler=self._sampler,
+            block_impl=self._block_impl)
+        packed, kpts = jax.device_get((packed_dev, kpts_dev))
+        self.frame_counter += 1
+
+        results = YoloDetector.unpack(packed, (H, W))
+        res_pd0 = self._filter_dets(results)
+        # sanitize keeping the global det index (pose slot j == row j:
+        # nms_fixed compacts valid rows to a score-sorted prefix, so the
+        # conf gate keeps a prefix and indices line up with pose slots)
+        if len(res_pd0):
+            ok = (np.isfinite(res_pd0[:, :4]).all(1)
+                  & (res_pd0[:, 2] > res_pd0[:, 0])
+                  & (res_pd0[:, 3] > res_pd0[:, 1]))
+            det_idx = np.where(ok)[0]
+            res_pd = res_pd0[ok]
+        else:
+            det_idx = np.empty((0,), int)
+            res_pd = res_pd0
+
+        if self.tracker is not None:
+            rows = self.tracker.update(res_pd, det_indices=det_idx)
+            emitted_di = self.tracker.emitted_det_idx
+            keep = np.isfinite(rows[:, :4]).all(1)
+            rows, emitted_di = rows[keep], emitted_di[keep]
+            ids = rows[:, 5].astype(int).tolist()
+        else:
+            rows, emitted_di, ids = res_pd, det_idx, None
+        cap = self.fixed_slots or self.max_people
+        if len(rows) > cap:
+            order = np.argsort(-rows[:, 4], kind="stable")[:cap]
+            rows, emitted_di = rows[order], emitted_di[order]
+            if ids is not None:
+                ids = [ids[i] for i in order]
+        if ids is None:
+            ids = list(range(len(rows)))
+        scores = rows[:, 4].tolist()
+
+        frame_keypoints: Dict[Any, np.ndarray] = {}
+        scores_bbox: Dict[Any, float] = {}
+        fallback = []          # rows emitted without an in-slot detection
+        for i, (pid, score) in enumerate(zip(ids, scores)):
+            di = int(emitted_di[i])
+            if 0 <= di < slots:
+                frame_keypoints[pid] = kpts[di]
+            else:
+                fallback.append(i)
+            scores_bbox[pid] = score
+        if fallback:
+            # rare path = old path: coast-emitted tracks (no detection this
+            # frame) or detections beyond the slot count get one standard
+            # pose dispatch on their (tracker) boxes
+            M = bucket_slots(len(fallback), max_slots=self.max_people)
+            boxes_p = np.zeros((M, 4), np.float32)
+            mask = np.zeros((M,), bool)
+            for j, i in enumerate(fallback[:M]):
+                boxes_p[j] = rows[i, :4]
+                mask[j] = True
+            out = np.asarray(pose_step_jit(
+                self._params, frame_dev, jnp.asarray(boxes_p),
+                jnp.asarray(mask), self.cfg,
+                compute_dtype=self.compute_dtype,
+                flip_pairs=self._flip_pairs, sampler=self._sampler,
+                block_impl=self._block_impl))
+            for j, i in enumerate(fallback[:M]):
+                frame_keypoints[ids[i]] = out[j]
+        if self.smooth:
+            frame_keypoints = self._apply_smoothing(frame_keypoints)
+
+        if self.save_state:
+            self._img = img
+            self._yolo_res = results
+            self._tracker_res = (rows[:, :4].round().astype(int), ids, scores)
+            self._keypoints = frame_keypoints
+            self._scores_bbox = scores_bbox
+        return frame_keypoints
 
     def inference_pipelined(self, img: np.ndarray
                             ) -> Optional[Dict[Any, np.ndarray]]:

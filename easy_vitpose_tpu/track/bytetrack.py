@@ -65,27 +65,33 @@ class ByteTrack(Sort):
         self.second_iou = second_iou
         self.det_stride = det_stride
 
-    def update(self, dets: np.ndarray = None) -> np.ndarray:
+    def update(self, dets: np.ndarray = None,
+               det_indices=None) -> np.ndarray:
         """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] including
         LOW-confidence boxes (>= low_thresh).  Same output contract as
         ``Sort.update`` (confirmed [x1,y1,x2,y2,score,id] rows; coast
-        output on empty-detection frames)."""
+        output on empty-detection frames; ``det_indices`` /
+        ``emitted_det_idx`` as documented there)."""
         if dets is None:
             dets = np.empty((0, 5), np.float32)
         dets = np.asarray(dets, np.float32).reshape(-1, 5)
         self.frame_count += 1
         empty_dets = len(dets) == 0
+        if det_indices is None:
+            det_indices = np.arange(len(dets))
+        det_indices = np.asarray(det_indices, int)
 
-        high = dets[dets[:, 4] >= self.high_thresh]
-        low = dets[(dets[:, 4] >= self.low_thresh)
-                   & (dets[:, 4] < self.high_thresh)]
+        hi_m = dets[:, 4] >= self.high_thresh
+        lo_m = (dets[:, 4] >= self.low_thresh) & ~hi_m
+        high, high_idx = dets[hi_m], det_indices[hi_m]
+        low, low_idx = dets[lo_m], det_indices[lo_m]
 
         trk_boxes = self._predict()
 
         # 1. high-confidence dets vs every live track
         matched, unmatched_high, unmatched_trks = associate(
             high, trk_boxes, self.iou_threshold)
-        self._apply_matches(high, matched)
+        self._apply_matches(high, matched, high_idx)
 
         # 2. BYTE: low-confidence dets rescue CONFIRMED tracks that were
         # matched at the last detection opportunity (tsu <= det_stride
@@ -102,8 +108,8 @@ class ByteTrack(Sort):
                 m2, _, _ = associate(low, trk_boxes[fresh], self.second_iou)
                 if len(m2):
                     m2 = np.stack([m2[:, 0], fresh[m2[:, 1]]], axis=1)
-                    self._apply_matches(low, m2)
+                    self._apply_matches(low, m2, low_idx)
 
         # 3. new identities from unmatched high-confidence dets only
-        self._spawn(high, unmatched_high)
+        self._spawn(high, unmatched_high, high_idx)
         return self._emit_and_retire(empty_dets)

@@ -108,6 +108,11 @@ class Sort:
         """Batched Kalman predict for every live track; drops tracks whose
         predicted box went non-finite.  Returns the predicted boxes (row
         order == state row order)."""
+        # per-frame bookkeeping: state row -> detection index that updated
+        # (or spawned) it this frame.  Consumed by the single-dispatch
+        # pipeline, which poses detections BEFORE association and needs to
+        # key the keypoints by emitted track id (pipeline/fused_detect.py).
+        self._frame_det_idx = {}
         if not len(self):
             return np.zeros((0, 4), np.float32)
         self.x, self.P = kalman.predict(self.x, self.P)
@@ -121,12 +126,18 @@ class Sort:
             trk_boxes = trk_boxes[finite]
         return trk_boxes
 
-    def _apply_matches(self, dets: np.ndarray, matched: np.ndarray):
+    def _apply_matches(self, dets: np.ndarray, matched: np.ndarray,
+                       det_indices=None):
         """Batched Kalman update of matched tracks.  matched: (n, 2)
-        [det_idx, state_row] pairs."""
+        [det_idx, state_row] pairs.  det_indices: optional map from local
+        det rows to the caller's global detection indices (ByteTrack feeds
+        high/low SUBSETS here)."""
         if not len(matched):
             return
         di, ti = matched[:, 0], matched[:, 1]
+        for d, t in zip(di, ti):
+            self._frame_det_idx[int(t)] = int(
+                det_indices[d] if det_indices is not None else d)
         z = kalman.bbox_to_z(dets[di, :4])
         xs, Ps = kalman.update(self.x[ti], self.P[ti], z)
         self.x[ti] = xs
@@ -136,9 +147,11 @@ class Sort:
         self.hit_streak[ti] += 1
         self.time_since_update[ti] = 0
 
-    def _spawn(self, dets: np.ndarray, indices) -> None:
+    def _spawn(self, dets: np.ndarray, indices, det_indices=None) -> None:
         """Open a new track for each listed detection row."""
         for i in indices:
+            self._frame_det_idx[len(self)] = int(
+                det_indices[i] if det_indices is not None else i)
             z = kalman.bbox_to_z(dets[i, :4])
             x0, P0 = kalman.init_state(z[None])
             self.x = np.concatenate([self.x, x0])
@@ -167,21 +180,36 @@ class Sort:
              self.ids[:, None].astype(np.float32)], axis=1)
         ret = rows[emit]
         coasted = rows if empty_dets else None
+        # detection index per OUTPUT row (-1 = emitted without a matching
+        # detection this frame, i.e. the coast path)
+        fdi = getattr(self, "_frame_det_idx", {})
+        emit_di = np.array([fdi.get(int(r), -1)
+                            for r in np.where(emit)[0]], int)
+        all_di = np.array([fdi.get(r, -1) for r in range(len(rows))], int)
 
         self._keep(self.time_since_update <= self.max_age)
 
         if len(ret):
+            self.emitted_det_idx = emit_di
             return ret
         if empty_dets and coasted is not None and len(coasted):
+            self.emitted_det_idx = all_di
             return coasted
+        self.emitted_det_idx = np.empty((0,), int)
         return np.empty((0, 6), np.float32)
 
-    def update(self, dets: np.ndarray = None) -> np.ndarray:
+    def update(self, dets: np.ndarray = None,
+               det_indices=None) -> np.ndarray:
         """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] (may be empty;
         must be called every frame).  Returns (M, 6) rows
         [x1,y1,x2,y2,score,id] for confirmed tracks — or, on empty-detection
         frames with no confirmed tracks, the coasted predictions of every
-        live track (reference sort.py:259-265)."""
+        live track (reference sort.py:259-265).
+
+        ``det_indices``: optional per-row global detection indices; after
+        the call ``self.emitted_det_idx`` maps each returned row to the
+        detection that updated it this frame (-1 for coast rows) — the
+        single-dispatch pipeline keys pre-computed keypoints with it."""
         if dets is None:
             dets = np.empty((0, 5), np.float32)
         dets = np.asarray(dets, np.float32).reshape(-1, 5)
@@ -191,6 +219,6 @@ class Sort:
         trk_boxes = self._predict()
         matched, unmatched_dets, _ = associate(dets, trk_boxes,
                                                self.iou_threshold)
-        self._apply_matches(dets, matched)
-        self._spawn(dets, unmatched_dets)
+        self._apply_matches(dets, matched, det_indices)
+        self._spawn(dets, unmatched_dets, det_indices)
         return self._emit_and_retire(empty_dets)

@@ -1,0 +1,90 @@
+"""Single-dispatch detection frames (pipeline/fused_detect.py): the fused
+detector+pose program must reproduce the two-program path.
+
+* tracker-less (image) mode: EXACT equivalence — same detections, same
+  keypoints (the fused program feeds nms_fixed's score-sorted valid prefix
+  straight into the pose sampler; the host path conf-gates + caps the same
+  prefix).
+* video tracker mode: identical track IDs (association runs on host from
+  the same fetch); keypoints are computed from the RAW detection boxes
+  rather than the Kalman-updated ones (documented semantics), so only
+  finiteness/shape is pinned there.
+"""
+import jax
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu import VitInference
+from tests.test_model_parity import CASES
+from tests.test_vitinference import ckpt_npz, yolo_npz  # noqa: F401 (fixtures)
+
+
+def _frame(seed=0, h=240, w=320):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    f = np.stack([np.sin(xx / (11 + seed)), np.cos(yy / (13 + seed)),
+                  np.sin((xx + yy) / (17 + seed))], -1)
+    return ((f - f.min()) / (np.ptp(f) + 1e-9) * 255).astype(np.uint8)
+
+
+def make(ckpt, yolo, **kw):
+    return VitInference(ckpt, yolo=yolo, model_name="s",
+                        model_cfg=CASES["tiny"], **kw)
+
+
+def test_image_mode_exact_equivalence(ckpt_npz, yolo_npz):  # noqa: F811
+    ref = make(ckpt_npz, yolo_npz, is_video=False, max_people=8)
+    fus = make(ckpt_npz, yolo_npz, is_video=False, single_dispatch=True,
+               max_people=8)
+    for seed in range(3):
+        img = _frame(seed)
+        a = ref.inference(img)
+        b = fus.inference(img)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5)
+        # draw state carries the same detections
+        assert (ref._yolo_res is None) == (fus._yolo_res is None)
+        if ref._yolo_res is not None:
+            np.testing.assert_allclose(ref._yolo_res, fus._yolo_res,
+                                       rtol=1e-5, atol=1e-4)
+
+
+def test_video_mode_ids_match_two_program_path(ckpt_npz, yolo_npz):  # noqa: F811
+    ref = make(ckpt_npz, yolo_npz, is_video=True, yolo_step=2, max_people=8)
+    fus = make(ckpt_npz, yolo_npz, is_video=True, yolo_step=2,
+               single_dispatch=True, max_people=8)
+    for t in range(6):
+        img = _frame(t % 3)
+        a = ref.inference(img)
+        b = fus.inference(img)
+        assert set(a) == set(b), f"frame {t}: ids diverged"
+        for k in b:
+            assert b[k].shape == (17, 3)
+            assert np.isfinite(b[k]).all()
+    img2 = fus.draw()
+    assert img2.shape == img.shape
+
+
+def test_fused_zero_detection_frame_coasts(ckpt_npz, yolo_npz):  # noqa: F811
+    """A detection frame with no boxes must still coast tracks through the
+    fallback pose dispatch (old-path semantics) without crashing."""
+    fus = make(ckpt_npz, yolo_npz, is_video=True, single_dispatch=True,
+               max_people=8)
+    # seed tracks via precomputed boxes (normal path), then hit the fused
+    # path with a frame the random-weight detector may or may not fire on
+    bb = np.array([[40, 30, 200, 220, 0.9]], np.float32)
+    for _ in range(3):
+        fus.inference(_frame(0), bboxes=bb)
+    out = fus.inference(_frame(1))
+    assert isinstance(out, dict)
+    for k in out:
+        assert np.isfinite(out[k]).all()
+
+
+def test_single_dispatch_skipped_frames_use_old_path(ckpt_npz, yolo_npz):  # noqa: F811
+    """yolo_step > 1: non-detection frames must go through the standard
+    coast path (no detector in the program)."""
+    fus = make(ckpt_npz, yolo_npz, is_video=True, yolo_step=3,
+               single_dispatch=True, max_people=8)
+    outs = [fus.inference(_frame(t % 2)) for t in range(5)]
+    assert all(isinstance(o, dict) for o in outs)
