@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto-tune yolo_step to hold this FPS on live/video "
                         "input (detection cadence is the elastic cost; the "
                         "tracker coasts between detections)")
+    p.add_argument("--single-dispatch", action="store_true",
+                   help="fuse detector+pose into ONE device program on "
+                        "detection frames (one dispatch + one fetch; see "
+                        "pipeline/fused_detect.py for the exact semantics)")
     p.add_argument("--trace", default="", metavar="LOGDIR",
                    help="capture a TensorBoard-viewable jax.profiler device "
                         "trace of the run into LOGDIR (utils/profiling.py; "
@@ -117,7 +121,8 @@ def run_one(args, input_path: str) -> None:
                          yolo_step=args.yolo_step, dtype=args.dtype,
                          smooth=args.smooth, smooth_params=smooth_params,
                          fixed_slots=args.fixed_slots, device=args.device,
-                         tracker=args.tracker)
+                         tracker=args.tracker,
+                         single_dispatch=args.single_dispatch)
     print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
           f"dtype={args.dtype})")
 
