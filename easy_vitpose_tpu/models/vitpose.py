@@ -39,7 +39,8 @@ def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                           remat: bool = False,
                           block_impl: str = "xla",
                           drop_path_masks=None,
-                          axis_name: Optional[str] = None
+                          axis_name: Optional[str] = None,
+                          deconv_impl: str = "dilated"
                           ) -> Tuple[jnp.ndarray, Any]:
     """Training forward: returns (heatmaps NCHW, new_bn_state).
 
@@ -48,12 +49,20 @@ def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
     ``drop_path_masks``/``axis_name``: per-device shard_map DP path —
     pre-drawn global stochastic-depth masks and the mesh data axis for
     global BN statistics (see train/step.py make_train_step_sharded).
+
+    ``deconv_impl`` defaults to 'dilated' here (vs 'phase' for serving):
+    measured on-chip at ViT-B/64 the phase decomposition's train-mode
+    fwd+bwd is 8.69 ms vs dilated 3.60 ms (scripts/bench_head_train.py) —
+    XLA lowers the dilated convT's VJP well, while the phase form's
+    strided pixel-shuffle slices turn into scatter-shaped HLO under
+    train-mode BN.  Serving (inference BN, no VJP) measures the other way
+    (scripts/bench_head.py).
     """
     feats = vit_forward(params["backbone"], x, cfg.backbone, train=True,
                         rng=rng, remat=remat, block_impl=block_impl,
                         drop_path_masks=drop_path_masks)
     heat, new_bn = head_forward(params["head"], feats, cfg.head, train=True,
-                                axis_name=axis_name)
+                                axis_name=axis_name, deconv_impl=deconv_impl)
     return jnp.transpose(heat, (0, 3, 1, 2)), new_bn
 
 
