@@ -56,6 +56,10 @@ class BackboneConfig:
     img_size: Tuple[int, int] = (256, 192)  # (H, W)
     in_chans: int = 3
     layer_norm_eps: float = 1e-6
+    # Hybrid CNN-stem embedding (reference HybridEmbed, vit.py:231-260):
+    # per-stage output channels of the stride-2 conv stem replacing
+    # PatchEmbed; None (default, all shipped configs) = plain PatchEmbed.
+    stem_channels: Optional[Tuple[int, ...]] = None
 
     @property
     def head_dim(self) -> int:
@@ -63,7 +67,13 @@ class BackboneConfig:
 
     @property
     def patch_shape(self) -> Tuple[int, int]:
-        """(Hp, Wp) token grid. 256x192/p16/pad4 -> (16, 12) = 192 tokens."""
+        """(Hp, Wp) token grid. 256x192/p16/pad4 -> (16, 12) = 192 tokens.
+
+        With a hybrid stem the grid is the stem's output resolution
+        (SAME-padded stride-2 stages): ceil(H / 2**n_stages)."""
+        if self.stem_channels:
+            s = 2 ** len(self.stem_channels)
+            return (-(-self.img_size[0] // s), -(-self.img_size[1] // s))
         h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         w = (self.img_size[1] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         return (h, w)
@@ -114,14 +124,22 @@ _BACKBONES = {
 
 
 def get_model_config(dataset: str, size: str, *, num_keypoints: Optional[int] = None,
-                     simple_head: bool = False) -> ModelConfig:
+                     simple_head: bool = False,
+                     stem_channels: Optional[Tuple[int, ...]] = None
+                     ) -> ModelConfig:
     """Config for ``(dataset, size)`` — the typed replacement for
-    ``dyn_model_import`` (reference vit_utils/util.py:37-41)."""
+    ``dyn_model_import`` (reference vit_utils/util.py:37-41).
+
+    ``stem_channels``: opt-in hybrid CNN-stem embedding (reference
+    HybridEmbed, vit.py:231-260); e.g. (64, 128, 256, 512) for the /16
+    grid. No shipped config uses it — experiments only."""
     if size not in _BACKBONES:
         raise ValueError(f"model size {size!r} not in {list(_BACKBONES)}")
     if dataset not in DATASETS:
         raise ValueError(f"dataset {dataset!r} not in {DATASETS}")
     bb = _BACKBONES[size]
+    if stem_channels is not None:
+        bb = dataclasses.replace(bb, stem_channels=tuple(stem_channels))
     k = num_keypoints if num_keypoints is not None else NUM_KEYPOINTS[dataset]
     if simple_head:
         head = HeadConfig(in_channels=bb.embed_dim, num_keypoints=k,

@@ -179,8 +179,13 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: BackboneConfig,
       (B, Hp, Wp, D) feature map, NHWC.
     """
     B = x.shape[0]
-    tokens = patch_embed(x, params["patch_w"], params["patch_b"],
-                         cfg.patch_size, cfg.patch_padding)
+    if cfg.stem_channels:
+        # hybrid CNN-stem embedding (reference HybridEmbed, vit.py:231-260)
+        from .stem import stem_forward
+        tokens = stem_forward(params["stem"], x, cfg)
+    else:
+        tokens = patch_embed(x, params["patch_w"], params["patch_b"],
+                             cfg.patch_size, cfg.patch_padding)
     pe = params["pos_embed"]  # (1, N+1, D), leading slot is the vestigial cls token
     tokens = tokens + (pe[:, 1:] + pe[:, :1]).astype(tokens.dtype)
 
@@ -280,11 +285,17 @@ def init_vit_params(rng: jax.Array, cfg: BackboneConfig,
         }
 
     blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *[block_params(k) for k in kb])
-    return {
-        "patch_w": tn(kp, (cfg.patch_size * cfg.patch_size * cfg.in_chans, D)),
-        "patch_b": jnp.zeros((D,), dtype),
+    out = {
         "pos_embed": tn(ke, (1, n_tok + 1, D)),
         "blocks": blocks,
         "ln_s": jnp.ones((D,), dtype),
         "ln_b": jnp.zeros((D,), dtype),
     }
+    if cfg.stem_channels:
+        from .stem import init_stem_params
+        out["stem"] = init_stem_params(kp, cfg, dtype)
+    else:
+        out["patch_w"] = tn(kp, (cfg.patch_size * cfg.patch_size
+                                 * cfg.in_chans, D))
+        out["patch_b"] = jnp.zeros((D,), dtype)
+    return out

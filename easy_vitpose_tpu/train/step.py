@@ -136,7 +136,9 @@ def make_adamw_layer_decay_optimizer(learning_rate=5e-4,
             name = keys[-1] if keys else ""
             no_decay = (name.endswith("_b") or "ln" in name
                         or name in ("pos_embed", "patch_b")
-                        or name in ("bias", "scale"))
+                        or name in ("bias", "scale")
+                        # hybrid-stem conv biases / LN params
+                        or name == "b" or "lns" in keys)
             return not no_decay
         return jax.tree_util.tree_map_with_path(visit, params)
 
