@@ -78,6 +78,12 @@ def main(argv=None):
                    help="single-HBM-pass clip+Adam (train/fused_opt.py); "
                         "same math as the default Adam, less optimizer "
                         "time per step (finetune preset only)")
+    p.add_argument("--opt-moments", default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="Adam moment storage (implies --fused-opt when not "
+                        "f32): bf16 halves / int8 quarters the moment "
+                        "memory — blockwise 8-bit moments for large-model "
+                        "single-chip training (train/fused_opt.py)")
     p.add_argument("--workers", type=int, default=0,
                    help="spawn-pool dataset workers (the reference's "
                         "workers_per_gpu; 0 = background thread)")
@@ -165,6 +171,8 @@ def main(argv=None):
         # override must win for either preset
         preset_kw["early_stop_patience"] = overrides["early_stop_patience"]
     settings = preset_fn(args.model_name, **preset_kw)
+    if args.opt_moments != "f32":
+        args.fused_opt = True  # quantized moments live in the fused path
     if args.fused_opt or overrides.get("fused_opt"):
         if settings.optimizer != "adam":
             raise SystemExit("--fused-opt implements the Adam recipe; the "
@@ -174,6 +182,7 @@ def main(argv=None):
             raise SystemExit("--fused-opt does not support "
                              "--freeze-backbone (masked optimizer)")
         settings.optimizer = "fused_adam"
+        settings.opt_moments = args.opt_moments
 
     if settings.block_impl.startswith("pallas_train") \
             and len(jax.devices()) > 1:

@@ -38,6 +38,31 @@ Usage:
 
 ``make_train_step``/``make_train_step_sharded`` detect ``fused_apply``
 and skip the generic update/apply_updates path.
+
+## Quantized moments (``moment_dtype``)
+
+``make_fused_adam(..., moment_dtype="bf16" | "int8")`` stores the Adam
+moments compressed — the large-model memory lever (no reference
+counterpart; the reference trains f32 Adam only):
+
+* ``bf16``: mu/nu cast to bfloat16 between steps (2x moment memory cut;
+  update math still f32).
+* ``int8``: blockwise 8-bit moments — per 2048-element block, an f32
+  absmax scale plus a GEOMETRIC 256-level code (closed-form log encode /
+  exp decode, no table search), the standard 8-bit-optimizer design
+  re-derived for TPU: linear int8 would zero out small-magnitude moments
+  (nu spans many orders of magnitude within a block), while a log-spaced
+  code bounds the RELATIVE decode error at ~5.6% signed / ~2.8% unsigned.
+  nu is stored in the sqrt domain (its dynamic range halves there and the
+  update only ever consumes sqrt(nu)).  Moment memory drops 4x — at
+  ViT-H (632M params) that is 5.1 GB -> 1.3 GB, the difference between
+  fitting and not fitting larger batches on one 16 GB chip.  Optimizer
+  HBM traffic drops ~43%/step; the log/exp VPU work eats most of that
+  back, so this is a MEMORY feature, not a speed one.
+
+The int8 path keeps the optimizer math f32 end-to-end between
+quantize/dequantize and is gated by convergence tests
+(tests/test_fused_opt.py) comparing loss trajectories against f32 Adam.
 """
 from __future__ import annotations
 
@@ -46,6 +71,7 @@ from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class FusedAdamState(NamedTuple):
@@ -130,6 +156,48 @@ def _adam_leaf_pallas(g, mu, nu, p, scal, *, b1, b2, eps):
             p_n.reshape(p.shape))
 
 
+# ---------------------------------------------------------------------------
+# Blockwise 8-bit moment codec (geometric map, closed-form encode/decode)
+
+_Q8_BLOCK = 2048
+_Q8_LN_EPS = float(np.log(1e-6))  # magnitudes below 1e-6*absmax code to 0
+
+
+def _q8_encode(x, levels: int):
+    """Flatten+pad to blocks, encode magnitudes on a geometric map.
+
+    Returns (codes int8 flat-padded (nb*B,), scales f32 (nb, 1)).
+    ``levels`` magnitude levels are log-spaced over [1e-6, 1] * absmax;
+    level 0 is exact zero.  Signed when levels=127 (sign folded into the
+    int8 code), unsigned when levels=255.
+    """
+    n = x.size
+    nb = -(-n // _Q8_BLOCK)
+    xf = jnp.pad(x.astype(jnp.float32).reshape(-1),
+                 (0, nb * _Q8_BLOCK - n)).reshape(nb, _Q8_BLOCK)
+    absx = jnp.abs(xf)
+    scale = jnp.max(absx, axis=1, keepdims=True)
+    safe = jnp.maximum(scale, 1e-30)
+    r = absx / safe
+    # idx 1..levels: ln(r) = _Q8_LN_EPS * (1 - (idx-1)/(levels-1))
+    idx = 1.0 + jnp.round((1.0 - jnp.log(jnp.maximum(r, 1e-30))
+                           / _Q8_LN_EPS) * (levels - 1))
+    idx = jnp.clip(idx, 1.0, float(levels))
+    idx = jnp.where(r < 1e-6, 0.0, idx)
+    codes = (jnp.sign(xf) * idx) if levels == 127 else idx
+    return codes.astype(jnp.int8 if levels == 127 else jnp.uint8
+                        ).reshape(-1), scale
+
+
+def _q8_decode(codes, scale, levels: int, shape):
+    """Inverse of :func:`_q8_encode` -> f32 array of ``shape``."""
+    cf = codes.astype(jnp.float32).reshape(-1, _Q8_BLOCK)
+    mag = jnp.abs(cf)
+    r = jnp.exp(_Q8_LN_EPS * (1.0 - (mag - 1.0) / (levels - 1)))
+    x = jnp.where(mag < 0.5, 0.0, jnp.sign(cf) * r * scale)
+    return x.reshape(-1)[: int(np.prod(shape))].reshape(shape)
+
+
 def _adam_leaf_xla(g, mu, nu, p, s, lr, c1, c2, *, b1, b2, eps):
     gs = g.astype(jnp.float32) * s
     mu_n = b1 * mu + (1.0 - b1) * gs
@@ -141,17 +209,46 @@ def _adam_leaf_xla(g, mu, nu, p, s, lr, c1, c2, *, b1, b2, eps):
 def make_fused_adam(learning_rate: Union[float, Callable],
                     b1: float = 0.9, b2: float = 0.999,
                     eps: float = 1e-8,
-                    max_grad_norm: float = 1.0) -> FusedAdam:
-    """Build the fused clip+Adam optimizer (see module docstring)."""
+                    max_grad_norm: float = 1.0,
+                    moment_dtype: str = "f32") -> FusedAdam:
+    """Build the fused clip+Adam optimizer (see module docstring).
+
+    ``moment_dtype``: 'f32' (exact optax math), 'bf16' (half moment
+    memory), or 'int8' (blockwise 8-bit moments, 4x memory cut —
+    large-model single-chip training)."""
+    assert moment_dtype in ("f32", "bf16", "int8"), moment_dtype
+
+    def _zeros_like_moments(params):
+        if moment_dtype == "bf16":
+            return jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.bfloat16), params)
+        if moment_dtype == "int8":
+            def z(x, dt):
+                nb = -(-x.size // _Q8_BLOCK)
+                return {"q": jnp.zeros((nb * _Q8_BLOCK,), dt),
+                        "s": jnp.zeros((nb, 1), jnp.float32)}
+            return {"q_tree": jax.tree.map(lambda x: z(x, jnp.int8)["q"],
+                                           params),
+                    "s_tree": jax.tree.map(lambda x: z(x, jnp.int8)["s"],
+                                           params)}
+        return jax.tree.map(
+            lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
 
     def init(params):
-        zeros = jax.tree.map(
-            lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
         lr0 = learning_rate(0) if callable(learning_rate) else learning_rate
+        mk = _zeros_like_moments
+        mu = mk(params)
+        nu = jax.tree.map(jnp.copy, mk(params)) if moment_dtype != "int8" \
+            else mk(params)
+        if moment_dtype == "int8":
+            # nu codes are unsigned
+            nu = {"q_tree": jax.tree.map(
+                      lambda q: q.astype(jnp.uint8), nu["q_tree"]),
+                  "s_tree": nu["s_tree"]}
         return FusedAdamState(
             count=jnp.zeros((), jnp.int32),
-            mu=zeros,
-            nu=jax.tree.map(jnp.copy, zeros),
+            mu=mu,
+            nu=nu,
             hyperparams={"learning_rate": jnp.asarray(lr0, jnp.float32)})
 
     def fused_apply(grads, state, params):
@@ -172,8 +269,39 @@ def make_fused_adam(learning_rate: Union[float, Callable],
             lr = state.hyperparams["learning_rate"]
 
         scal = jnp.stack([s, lr, c1, c2]).reshape(1, 4)
+        treedef = jax.tree_util.tree_structure(params)
+
+        if moment_dtype == "int8":
+            def leaf8(g, mq, ms, nq, ns, p):
+                mu = _q8_decode(mq, ms, 127, p.shape)
+                nu_sqrt = _q8_decode(nq, ns, 255, p.shape)
+                mu_n, nu_n, p_n = _adam_leaf_xla(
+                    g, mu, jnp.square(nu_sqrt), p, s, lr, c1, c2,
+                    b1=b1, b2=b2, eps=eps)
+                mq_n, ms_n = _q8_encode(mu_n, 127)
+                nq_n, ns_n = _q8_encode(jnp.sqrt(nu_n), 255)
+                return mq_n, ms_n, nq_n, ns_n, p_n
+
+            out = jax.tree.map(leaf8, grads,
+                               state.mu["q_tree"], state.mu["s_tree"],
+                               state.nu["q_tree"], state.nu["s_tree"],
+                               params)
+            mq, ms, nq, ns, p_n = jax.tree_util.tree_transpose(
+                treedef, jax.tree_util.tree_structure((0, 0, 0, 0, 0)), out)
+            new_state = FusedAdamState(
+                count=count,
+                mu={"q_tree": mq, "s_tree": ms},
+                nu={"q_tree": nq, "s_tree": ns},
+                hyperparams={"learning_rate": lr})
+            return p_n, new_state, gnorm
 
         def leaf(g, mu, nu, p):
+            if moment_dtype == "bf16":
+                mu_n, nu_n, p_n = _adam_leaf_xla(
+                    g, mu.astype(jnp.float32), nu.astype(jnp.float32), p,
+                    s, lr, c1, c2, b1=b1, b2=b2, eps=eps)
+                return (mu_n.astype(jnp.bfloat16),
+                        nu_n.astype(jnp.bfloat16), p_n)
             if use_pallas and _pallas_leaf_shape(p) is not None:
                 return _adam_leaf_pallas(g, mu, nu, p, scal,
                                          b1=b1, b2=b2, eps=eps)
@@ -182,7 +310,6 @@ def make_fused_adam(learning_rate: Union[float, Callable],
 
         out = jax.tree.map(leaf, grads, state.mu, state.nu, params)
         # out is a tree of (mu, nu, p) leaf-tuples; transpose to 3 trees
-        treedef = jax.tree_util.tree_structure(params)
         mu_n, nu_n, p_n = jax.tree_util.tree_transpose(
             treedef, jax.tree_util.tree_structure((0, 0, 0)),
             out)

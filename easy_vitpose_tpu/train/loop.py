@@ -35,6 +35,10 @@ class TrainSettings:
     use_amp: bool = True
     block_impl: str = "xla"              # 'pallas_train' = fused VJP kernels
     optimizer: str = "adam"              # | 'adamw_layer_decay' (from-scratch)
+    opt_moments: str = "f32"             # 'bf16'|'int8' Adam moment storage
+    #                                      (optimizer='fused_adam' only;
+    #                                      int8 = 4x moment memory cut for
+    #                                      large-model single-chip training)
     lr_policy: str = "plateau"           # | 'step' (mmcv warmup+milestones)
     lr_factor: float = 0.1               # ReduceLROnPlateau factor
     lr_patience: int = 4                 # epochs without val improvement
@@ -270,7 +274,8 @@ def _train_model(params, cfg: ModelConfig, train_ds: CocoPoseDataset,
             raise ValueError("freeze_backbone needs the optax masked "
                              "optimizer; use optimizer='adam'")
         from .fused_opt import make_fused_adam
-        tx = make_fused_adam(settings.lr)
+        tx = make_fused_adam(settings.lr,
+                             moment_dtype=settings.opt_moments)
     else:
         tx = steplib.make_optimizer(settings.lr,
                                     freeze_backbone=settings.freeze_backbone)

@@ -194,6 +194,104 @@ def test_sharded_train_step_with_fused_opt():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_q8_codec_roundtrip_bounds():
+    """Blockwise geometric 8-bit codec: zeros exact, relative decode error
+    within the design bounds (~5.6% signed / ~2.8% unsigned), odd sizes
+    (padding) handled."""
+    from easy_vitpose_tpu.train.fused_opt import _q8_decode, _q8_encode
+    rng = np.random.default_rng(0)
+    for shape in [(2048,), (3000,), (7, 311)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        x.ravel()[:5] = 0.0
+        q, s = _q8_encode(jnp.asarray(x), 127)
+        assert q.dtype == jnp.int8
+        y = np.asarray(_q8_decode(q, s, 127, shape))
+        np.testing.assert_array_equal(y.ravel()[:5], 0.0)
+        nz = np.abs(x) > 1e-5 * np.abs(x).max()
+        rel = np.abs(y[nz] - x[nz]) / np.abs(x[nz])
+        assert rel.max() < 0.062, rel.max()
+
+        u = np.abs(rng.normal(size=shape)).astype(np.float32) ** 4
+        q, s = _q8_encode(jnp.asarray(u), 255)
+        assert q.dtype == jnp.uint8
+        yu = np.asarray(_q8_decode(q, s, 255, shape))
+        nz = u > 1e-5 * u.max()
+        rel = np.abs(yu[nz] - u[nz]) / u[nz]
+        assert rel.max() < 0.031, rel.max()
+
+
+@pytest.mark.parametrize("moments", ["bf16", "int8"])
+def test_quantized_moments_converge(moments):
+    """8-bit/bf16-moment Adam must track f32 Adam on a least-squares
+    problem: same optimizer trajectory family, comparable final loss."""
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    w_true = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    y = A @ w_true  # consistent system: the optimum is loss 0
+    w0 = jnp.zeros((32,), jnp.float32)
+
+    def loss_fn(w):
+        return jnp.mean(jnp.square(A @ w - y))
+
+    def run(tx):
+        w = {"w": w0}
+        s = tx.init(w)
+        for _ in range(300):
+            g = jax.grad(lambda p: loss_fn(p["w"]))(w)
+            w, s, _ = apply_optimizer(tx, g, s, w)
+        return float(loss_fn(w["w"]))
+
+    l0 = float(loss_fn(w0))
+    lf32 = run(make_fused_adam(3e-2))
+    lq = run(make_fused_adam(3e-2, moment_dtype=moments))
+    assert lf32 < 0.25 * l0
+    # quantization noise must not break optimization: within 25% of the
+    # f32 trajectory's achieved loss reduction
+    assert (l0 - lq) > 0.75 * (l0 - lf32), (l0, lf32, lq)
+
+
+def test_int8_state_is_actually_8bit():
+    params = _params(jax.random.PRNGKey(5), big=True)
+    tx = make_fused_adam(1e-3, moment_dtype="int8")
+    s = tx.init(params)
+    p1, s1, _ = apply_optimizer(tx, _grads(params, 0), s, params)
+    n_param_bytes = sum(x.size * 4 for x in jax.tree_util.tree_leaves(params))
+    mom_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves((s1.mu, s1.nu)))
+    # 2 moment trees at ~1 byte/param (+ f32 block scales + padding)
+    assert mom_bytes < 0.30 * (2 * n_param_bytes), (mom_bytes, n_param_bytes)
+    for q in jax.tree_util.tree_leaves(s1.mu["q_tree"]):
+        assert q.dtype == jnp.int8
+    for q in jax.tree_util.tree_leaves(s1.nu["q_tree"]):
+        assert q.dtype == jnp.uint8
+    # params actually moved
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(params)))
+    assert moved
+
+
+def test_int8_orbax_roundtrip(tmp_path):
+    from easy_vitpose_tpu.train.orbax_ckpt import (restore_train_state,
+                                                   save_train_state)
+    params = _params(jax.random.PRNGKey(6))
+    tx = make_fused_adam(1e-3, moment_dtype="int8")
+    p1, s1, _ = apply_optimizer(tx, _grads(params, 0), tx.init(params),
+                                params)
+    state = {"params": p1, "opt_state": s1, "bn_state": {},
+             "step": jnp.asarray(1, jnp.int32)}
+    path = str(tmp_path / "ckpt8")
+    save_train_state(path, state)
+    template = {"params": params, "opt_state": tx.init(params),
+                "bn_state": {}, "step": jnp.asarray(0, jnp.int32)}
+    restored = restore_train_state(path, template=template)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_full_train_step_with_fused_opt():
     """The train step composes with FusedAdam end-to-end (tiny model)."""
     from easy_vitpose_tpu.configs import (BackboneConfig, HeadConfig,
