@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--ab-opt", action="store_true",
                     help="interleave fused-opt (A) against the optax "
                          "chain (B) in one process")
+    ap.add_argument("--ab-moments", default=None, choices=["bf16", "int8"],
+                    help="interleave quantized-moment fused Adam (A) "
+                         "against f32-moment fused Adam (B): the step-time "
+                         "cost of the 8-bit-optimizer memory cut")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for the train state (0=off) — measures "
                          "the shadow-weight HBM-pass overhead")
@@ -67,7 +71,7 @@ def main():
                          "pipelining bugs the CPU interpret tests cannot)")
     args = ap.parse_args()
     if args.ema and any((args.ab, args.ab_wide, args.ab_attn, args.ab_mlp,
-                         args.ab_opt, args.ab_input)):
+                         args.ab_opt, args.ab_input, args.ab_moments)):
         # the B step is built without ema_decay — the pair would confound
         # block/flavor deltas with the EMA pass
         ap.error("--ema cannot be combined with --ab* modes")
@@ -222,9 +226,9 @@ def main():
         os.environ["EVT_TRAIN_ATTN"] = "saved"
     if args.ab_mlp:
         os.environ["EVT_TRAIN_MLP"] = "saved"
-    if args.fused_opt or args.ab_opt:
+    if args.fused_opt or args.ab_opt or args.ab_moments:
         from easy_vitpose_tpu.train.fused_opt import make_fused_adam
-        tx = make_fused_adam(5e-4)
+        tx = make_fused_adam(5e-4, moment_dtype=args.ab_moments or "f32")
     else:
         tx = make_optimizer(5e-4)
     state = init_train_state(params, tx, ema_decay=args.ema)
@@ -327,6 +331,18 @@ def main():
         sb, mb = step_b(state_b, batch, key)
         jax.block_until_ready(sb)
         print("host-rendered baseline compiled", flush=True)
+    elif args.ab_moments:
+        # quantized-moment fused Adam (A) vs f32-moment fused Adam (B)
+        tx_b = make_fused_adam(5e-4)
+        step_b = jax.jit(make_train_step(cfg, tx_b, use_amp=not args.fp32,
+                                         remat=args.remat,
+                                         block_impl="pallas_train"
+                                         if args.fused else "xla"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx_b)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        print("f32-moment baseline compiled", flush=True)
     elif args.ab_opt:
         # fused-opt step (A, already built above) vs the optax chain (B)
         tx_b = make_optimizer(5e-4)
@@ -358,6 +374,7 @@ def main():
             times_b.append(dtb * 1e3)
             blabel = ("recompute" if args.ab_wide or args.ab_attn
                       or args.ab_mlp
+                      else "f32mom" if args.ab_moments
                       else "optax" if args.ab_opt
                       else "rendered" if args.ab_input else "xla")
             line += f"  | {blabel} {dtb * 1e3:7.2f} ms"
@@ -374,6 +391,7 @@ def main():
         medb = float(np.median(times_b))
         bkey = ("recompute" if args.ab_wide or args.ab_attn
                 or args.ab_mlp
+                else "f32mom" if args.ab_moments
                 else "optax" if args.ab_opt
                 else "rendered" if args.ab_input else "xla")
         result[f"{bkey}_ms_per_step"] = round(medb, 2)
