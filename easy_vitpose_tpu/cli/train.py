@@ -131,7 +131,10 @@ def main(argv=None):
         with open(args.config) as f:
             overrides = yaml.safe_load(f) or {}
 
-    cfg = get_model_config(args.dataset, args.model_name)
+    # hybrid CNN-stem embedding (reference HybridEmbed, vit.py:231-260):
+    # yaml `stem_channels: [64, 128, 256, 512]` replaces PatchEmbed
+    cfg = get_model_config(args.dataset, args.model_name,
+                           stem_channels=overrides.get("stem_channels"))
     work_dir = args.work_dir or next_session_dir()
     from ..train import presets
     preset_fn = (presets.from_scratch if args.preset == "from-scratch"

@@ -48,12 +48,15 @@ def stem_forward(params: Params, x: jnp.ndarray,
     """
     h = x
     for conv, ln in zip(params["convs"], params["lns"]):
+        # no preferred_element_type: the conv transpose rule requires the
+        # cotangent and weight dtypes to MATCH (unlike dot), so an f32
+        # accumulate annotation breaks the bf16-AMP backward; TPU convs
+        # accumulate in f32 on the MXU regardless of the HLO output dtype
         h = jax.lax.conv_general_dilated(
-            h.astype(x.dtype), conv["w"].astype(x.dtype),
+            h, conv["w"].astype(h.dtype),
             window_strides=(2, 2), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        h = (h + conv["b"]).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = h + conv["b"].astype(h.dtype)
         h = layer_norm(h, ln["s"], ln["b"], cfg.layer_norm_eps)
         h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
     B, Hf, Wf, C = h.shape

@@ -88,6 +88,28 @@ def test_full_composite_and_grads():
     assert all(float(jnp.max(jnp.abs(l))) > 0 for l in stem_leaves)
 
 
+def test_amp_backward_through_stem():
+    """bf16-AMP gradient through the stem convs (regression: an f32
+    preferred_element_type on the conv broke its transpose rule under
+    mixed dtypes — dots tolerate the mix, convs do not)."""
+    from easy_vitpose_tpu.models.vitpose import cast_params
+    cfg = tiny_cfg()
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(2, 256, 192, 3)), jnp.float32)
+
+    def loss(p):
+        fp = cast_params(p, jnp.bfloat16)
+        h, _ = vitpose_forward_train(fp, x.astype(jnp.bfloat16), cfg,
+                                     rng=jax.random.PRNGKey(5))
+        return jnp.mean(jnp.square(h.astype(jnp.float32)))
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g["backbone"]["stem"])
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert all(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
 def test_train_step_with_stem():
     from easy_vitpose_tpu.train import step as trainlib
     cfg = tiny_cfg()
