@@ -101,8 +101,12 @@ def _pallas_leaf_shape(x) -> tuple | None:
 
 
 def _tile_rows(rows: int, cols: int) -> int:
-    """Largest row tile <= ~1M elements that divides rows and is % 8."""
-    target = max(8, (1 << 20) // cols)
+    """Largest row tile <= ~0.5M elements that divides rows and is % 8.
+
+    8 VMEM blocks (5 in + 3 out) double-buffered: 0.5M f32 x 16 = 32 MB,
+    inside the 64 MB scoped limit (1M-element tiles measured 64.46M on
+    a (12288, 256) leaf — over the line)."""
+    target = max(8, (1 << 19) // cols)
     t = min(rows, target - target % 8 or 8)
     while rows % t or t % 8:
         t -= 8
@@ -149,6 +153,8 @@ def _adam_leaf_pallas(g, mu, nu, p, scal, *, b1, b2, eps):
         in_specs=[scal_spec, blk, blk, blk, blk],
         out_specs=(blk, blk, blk),
         out_shape=out3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=os.environ.get("EVT_FUSED_OPT_INTERPRET") == "1",
     )(scal, g.reshape(shape2), mu.reshape(shape2), nu.reshape(shape2),
       p.reshape(shape2))
@@ -196,6 +202,114 @@ def _q8_decode(codes, scale, levels: int, shape):
     r = jnp.exp(_Q8_LN_EPS * (1.0 - (mag - 1.0) / (levels - 1)))
     x = jnp.where(mag < 0.5, 0.0, jnp.sign(cf) * r * scale)
     return x.reshape(-1)[: int(np.prod(shape))].reshape(shape)
+
+
+def _q8_pallas_rows(x) -> int | None:
+    """Quant-block row count if the leaf qualifies for the q8 Pallas kernel.
+
+    The kernel views the leaf as (nb, 2048) f32 with one scale per row and
+    tiles T=32 rows per program (int8 VMEM tiling wants sublanes % 32), so
+    the leaf must be f32 with size % (32*2048) == 0 — true of every stacked
+    block weight at ViT-S/B/L/H.
+    """
+    if x.dtype != jnp.float32 or x.size < (1 << 20):
+        return None
+    nb = x.size // _Q8_BLOCK
+    if x.size % _Q8_BLOCK or nb % 32:
+        return None
+    return nb
+
+
+def _adam_leaf_pallas_q8(g, mq, ms, nq, ns, p, scal, *, b1, b2, eps,
+                         interpret=False):
+    """One-pass decode + clip+Adam + re-encode on a single leaf.
+
+    The XLA int8-moment path costs ~10 elementwise HBM round-trips over
+    the f32 intermediates (measured +17% step time at ViT-B/64); here the
+    whole update runs in VMEM: read (g, p) f32 + codes int8, write p' f32
+    + codes int8 + scales — the true bandwidth floor (~16 B/param).
+    Bitwise the same codec as :func:`_q8_encode` / :func:`_q8_decode`.
+
+    ``scal`` is a (1, 4) f32 of (clip_scale, lr, 1-b1^t, 1-b2^t) in SMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = _q8_pallas_rows(p)
+    T = 32
+    shape2 = (nb, _Q8_BLOCK)
+
+    def kern(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, ns_ref, p_ref,
+             mq_out, ms_out, nq_out, ns_out, p_out):
+        s = scal_ref[0, 0]
+        lr = scal_ref[0, 1]
+        c1 = scal_ref[0, 2]
+        c2 = scal_ref[0, 3]
+        # decode moments (geometric map, see _q8_decode)
+        mqf = mq_ref[:].astype(jnp.float32)
+        mag = jnp.abs(mqf)
+        mu = jnp.where(
+            mag < 0.5, 0.0,
+            jnp.sign(mqf)
+            * jnp.exp(_Q8_LN_EPS * (1.0 - (mag - 1.0) / 126.0)) * ms_ref[:])
+        # Mosaic has no uint8<->f32 casts: go through an int8 bitcast and
+        # undo the wrap (codes 128..255 read as negatives)
+        raw = jax.lax.bitcast_convert_type(nq_ref[:], jnp.int8
+                                           ).astype(jnp.float32)
+        nqf = jnp.where(raw < 0, raw + 256.0, raw)
+        vs = jnp.where(
+            nqf < 0.5, 0.0,
+            jnp.exp(_Q8_LN_EPS * (1.0 - (nqf - 1.0) / 254.0)) * ns_ref[:])
+        gs = g_ref[:] * s
+        mu_n = b1 * mu + (1.0 - b1) * gs
+        nu_n = b2 * (vs * vs) + (1.0 - b2) * gs * gs
+        p_out[:] = p_ref[:] - lr * (mu_n / c1) / (jnp.sqrt(nu_n / c2) + eps)
+        # re-encode (see _q8_encode)
+        am = jnp.max(jnp.abs(mu_n), axis=1, keepdims=True)
+        ms_out[:] = am
+        r = jnp.abs(mu_n) / jnp.maximum(am, 1e-30)
+        idx = jnp.clip(1.0 + jnp.round(
+            (1.0 - jnp.log(jnp.maximum(r, 1e-30)) / _Q8_LN_EPS) * 126.0),
+            1.0, 127.0)
+        idx = jnp.where(r < 1e-6, 0.0, idx)
+        mq_out[:] = (jnp.sign(mu_n) * idx).astype(jnp.int8)
+        vs_n = jnp.sqrt(nu_n)
+        an = jnp.max(vs_n, axis=1, keepdims=True)
+        ns_out[:] = an
+        rn = vs_n / jnp.maximum(an, 1e-30)
+        idxn = jnp.clip(1.0 + jnp.round(
+            (1.0 - jnp.log(jnp.maximum(rn, 1e-30)) / _Q8_LN_EPS) * 254.0),
+            1.0, 255.0)
+        idxn = jnp.where(rn < 1e-6, 0.0, idxn)
+        wrapped = jnp.where(idxn > 127.5, idxn - 256.0, idxn)
+        nq_out[:] = jax.lax.bitcast_convert_type(
+            wrapped.astype(jnp.int8), jnp.uint8)
+
+    fblk = pl.BlockSpec((T, _Q8_BLOCK), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct(shape2, jnp.int8),     # mu codes
+        jax.ShapeDtypeStruct((nb, 1), jnp.float32),  # mu scales
+        jax.ShapeDtypeStruct(shape2, jnp.uint8),    # nu codes
+        jax.ShapeDtypeStruct((nb, 1), jnp.float32),  # nu scales
+        jax.ShapeDtypeStruct(shape2, jnp.float32),  # params
+    )
+    mq_n, ms_n, nq_n, ns_n, p_n = pl.pallas_call(
+        kern,
+        grid=(nb // T,),
+        in_specs=[scal_spec, fblk, fblk, sblk, fblk, sblk, fblk],
+        out_specs=(fblk, sblk, fblk, sblk, fblk),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, g.astype(jnp.float32).reshape(shape2), mq.reshape(shape2), ms,
+      nq.reshape(shape2), ns, p.reshape(shape2))
+    return (mq_n.reshape(-1), ms_n, nq_n.reshape(-1), ns_n,
+            p_n.reshape(p.shape))
 
 
 def _adam_leaf_xla(g, mu, nu, p, s, lr, c1, c2, *, b1, b2, eps):
@@ -272,7 +386,13 @@ def make_fused_adam(learning_rate: Union[float, Callable],
         treedef = jax.tree_util.tree_structure(params)
 
         if moment_dtype == "int8":
+            interp = os.environ.get("EVT_FUSED_OPT_INTERPRET") == "1"
+
             def leaf8(g, mq, ms, nq, ns, p):
+                if use_pallas and _q8_pallas_rows(p) is not None:
+                    return _adam_leaf_pallas_q8(
+                        g, mq, ms, nq, ns, p, scal,
+                        b1=b1, b2=b2, eps=eps, interpret=interp)
                 mu = _q8_decode(mq, ms, 127, p.shape)
                 nu_sqrt = _q8_decode(nq, ns, 255, p.shape)
                 mu_n, nu_n, p_n = _adam_leaf_xla(

@@ -273,6 +273,43 @@ def test_int8_state_is_actually_8bit():
     assert moved
 
 
+def test_int8_pallas_kernel_matches_xla(monkeypatch):
+    """Fused q8-Adam Pallas kernel (decode+Adam+encode in one VMEM pass)
+    vs the XLA int8-moment path: identical codes/scales/params after two
+    steps on a mixed tree (big leaf -> kernel, small leaves -> XLA
+    fallback)."""
+    params = _params(jax.random.PRNGKey(7), big=True)
+    tx = make_fused_adam(1e-3, moment_dtype="int8")
+
+    def run():
+        w = jax.tree.map(jnp.copy, params)
+        s = tx.init(w)
+        for step in range(2):
+            w, s, _ = apply_optimizer(tx, _grads(w, step), s, w)
+        return w, s
+
+    pa, sa = run()
+    monkeypatch.setenv("EVT_FUSED_OPT", "pallas")
+    monkeypatch.setenv("EVT_FUSED_OPT_INTERPRET", "1")
+    pb, sb = run()
+
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path((pa, sa.mu, sa.nu)),
+            jax.tree_util.tree_leaves((pb, sb.mu, sb.nu))):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype in (np.int8, np.uint8):
+            # codes: allow +-1 on exact rounding boundaries (log/exp
+            # ulp differences between the lowered paths)
+            diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert diff.max() <= 1, \
+                f"code mismatch at {jax.tree_util.keystr(path)}"
+            assert (diff != 0).mean() < 1e-3
+        else:
+            np.testing.assert_allclose(
+                a, b, rtol=5e-5, atol=1e-7,
+                err_msg=f"mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_int8_orbax_roundtrip(tmp_path):
     from easy_vitpose_tpu.train.orbax_ckpt import (restore_train_state,
                                                    save_train_state)
