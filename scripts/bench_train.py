@@ -57,6 +57,11 @@ def main():
                     help="interleave quantized-moment fused Adam (A) "
                          "against f32-moment fused Adam (B): the step-time "
                          "cost of the 8-bit-optimizer memory cut")
+    ap.add_argument("--moments", default="f32",
+                    choices=["f32", "bf16", "int8"],
+                    help="single-sided moment dtype (implies fused-opt): "
+                         "for HBM-headroom probes where the A/B's double "
+                         "state would itself OOM")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for the train state (0=off) — measures "
                          "the shadow-weight HBM-pass overhead")
@@ -226,9 +231,11 @@ def main():
         os.environ["EVT_TRAIN_ATTN"] = "saved"
     if args.ab_mlp:
         os.environ["EVT_TRAIN_MLP"] = "saved"
-    if args.fused_opt or args.ab_opt or args.ab_moments:
+    if (args.fused_opt or args.ab_opt or args.ab_moments
+            or args.moments != "f32"):
         from easy_vitpose_tpu.train.fused_opt import make_fused_adam
-        tx = make_fused_adam(5e-4, moment_dtype=args.ab_moments or "f32")
+        tx = make_fused_adam(5e-4,
+                             moment_dtype=args.ab_moments or args.moments)
     else:
         tx = make_optimizer(5e-4)
     state = init_train_state(params, tx, ema_decay=args.ema)
