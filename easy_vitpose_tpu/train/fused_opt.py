@@ -18,7 +18,10 @@ the bandwidth floor for Adam.  Two implementations with identical math:
   ``apply_updates`` pass).
 * ``pallas`` — per-leaf Pallas VMEM kernel for large aligned leaves
   (>= 1M elements, last dim % 128 == 0, leading rows % 8 == 0), XLA
-  fallback for the small remainder.  Selected with EVT_FUSED_OPT=pallas.
+  fallback for the small remainder.  EVT_FUSED_OPT selects: ``pallas``,
+  ``xla``, or ``auto`` (the default: pallas for int8 moments on
+  accelerator backends — where the XLA decode/encode overhead grows
+  with parameter count — xla otherwise).
 
 Update rule (bitwise the optax one, eps_root=0):
   s    = min(1, max_norm / ||g||)          # clip_by_global_norm
@@ -366,7 +369,17 @@ def make_fused_adam(learning_rate: Union[float, Callable],
             hyperparams={"learning_rate": jnp.asarray(lr0, jnp.float32)})
 
     def fused_apply(grads, state, params):
-        use_pallas = os.environ.get("EVT_FUSED_OPT", "xla") == "pallas"
+        # int8 moments default to the Pallas kernel on accelerator
+        # backends: the XLA decode/encode path costs ~10 elementwise HBM
+        # round-trips and its overhead grows with parameter count
+        # (measured +17% at ViT-B/86M, +27% at ViT-H/632M vs +3-4% for
+        # the kernel — PERF.md "8-bit Adam moments").  CPU keeps the XLA
+        # path (the kernel needs a Mosaic target unless interpreted).
+        flavor = os.environ.get("EVT_FUSED_OPT", "auto")
+        if flavor == "auto":
+            flavor = ("pallas" if moment_dtype == "int8"
+                      and jax.default_backend() != "cpu" else "xla")
+        use_pallas = flavor == "pallas"
         gnorm = jnp.sqrt(sum(
             jnp.sum(jnp.square(g.astype(jnp.float32)))
             for g in jax.tree_util.tree_leaves(grads)))
