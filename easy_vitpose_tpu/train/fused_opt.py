@@ -77,6 +77,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def resolve_opt_flavor(moment_dtype: str,
+                       env: str | None = None,
+                       backend: str | None = None) -> str:
+    """Resolve EVT_FUSED_OPT ('auto' default) to 'pallas' or 'xla'.
+
+    'auto' picks the Pallas decode+Adam+encode kernel for int8 moments
+    on accelerator backends — the XLA path's decode/encode HBM
+    round-trips grow with parameter count (+17% step at ViT-B/86M,
+    +27% at ViT-H/632M vs +3-4% kernel, PERF.md) — and XLA everywhere
+    else (CPU can't lower Mosaic uninterpreted; f32/bf16 moments showed
+    no kernel-vs-XLA gap on-device).
+    """
+    flavor = env if env is not None else os.environ.get(
+        "EVT_FUSED_OPT", "auto")
+    if flavor == "auto":
+        backend = backend if backend is not None else jax.default_backend()
+        flavor = ("pallas" if moment_dtype == "int8" and backend != "cpu"
+                  else "xla")
+    return flavor
+
+
 class FusedAdamState(NamedTuple):
     count: jnp.ndarray          # int32 step counter
     mu: Any                     # first-moment tree (f32, like params)
@@ -369,17 +390,7 @@ def make_fused_adam(learning_rate: Union[float, Callable],
             hyperparams={"learning_rate": jnp.asarray(lr0, jnp.float32)})
 
     def fused_apply(grads, state, params):
-        # int8 moments default to the Pallas kernel on accelerator
-        # backends: the XLA decode/encode path costs ~10 elementwise HBM
-        # round-trips and its overhead grows with parameter count
-        # (measured +17% at ViT-B/86M, +27% at ViT-H/632M vs +3-4% for
-        # the kernel — PERF.md "8-bit Adam moments").  CPU keeps the XLA
-        # path (the kernel needs a Mosaic target unless interpreted).
-        flavor = os.environ.get("EVT_FUSED_OPT", "auto")
-        if flavor == "auto":
-            flavor = ("pallas" if moment_dtype == "int8"
-                      and jax.default_backend() != "cpu" else "xla")
-        use_pallas = flavor == "pallas"
+        use_pallas = resolve_opt_flavor(moment_dtype) == "pallas"
         gnorm = jnp.sqrt(sum(
             jnp.sum(jnp.square(g.astype(jnp.float32)))
             for g in jax.tree_util.tree_leaves(grads)))

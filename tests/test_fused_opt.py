@@ -370,3 +370,23 @@ def test_full_train_step_with_fused_opt():
         # divide) -> few-ulp drift after two steps
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=5e-6)
+
+
+def test_resolve_opt_flavor_auto_rules():
+    """'auto' = Pallas q8 kernel on accelerators only (PERF.md: the XLA
+    decode/encode overhead grows with parameter count, +17% ViT-B ->
+    +27% ViT-H, vs +3-4% kernel); explicit env always wins."""
+    from easy_vitpose_tpu.train.fused_opt import resolve_opt_flavor
+
+    # auto: int8 moments -> kernel on accelerators, XLA on CPU
+    assert resolve_opt_flavor("int8", env="auto", backend="tpu") == "pallas"
+    assert resolve_opt_flavor("int8", env="auto", backend="cpu") == "xla"
+    # auto: f32/bf16 moments stay XLA everywhere (no measured gap)
+    assert resolve_opt_flavor("f32", env="auto", backend="tpu") == "xla"
+    assert resolve_opt_flavor("bf16", env="auto", backend="tpu") == "xla"
+    # explicit override beats auto in both directions
+    assert resolve_opt_flavor("int8", env="xla", backend="tpu") == "xla"
+    assert resolve_opt_flavor("f32", env="pallas", backend="tpu") == "pallas"
+    # default env comes from EVT_FUSED_OPT / 'auto'; backend from the
+    # live default backend (CPU under the test harness)
+    assert resolve_opt_flavor("int8") == "xla"
