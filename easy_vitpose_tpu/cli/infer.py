@@ -135,6 +135,12 @@ def run_one(args, input_path: str) -> None:
             "the live-pacing flags --target-fps (the auto-tuner needs "
             "steady per-frame timing, not whole-window bursts) and "
             "--pipelined (the window already overlaps detect and pose)")
+    if args.single_dispatch and (args.batch or args.pipelined):
+        raise SystemExit(
+            "--single-dispatch fuses detector+pose into one program on "
+            "plain per-frame inference only; --pipelined and --batch route "
+            "through their own dispatch schedules and would silently "
+            "ignore it")
 
     tuner = None
     if args.target_fps and is_video:

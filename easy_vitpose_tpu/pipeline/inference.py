@@ -351,7 +351,17 @@ class VitInference:
         frame_dev = jnp.asarray(img)
         H, W = img.shape[:2]
         geom = letterbox_geometry(H, W, det.imgsz, rect=det.rect)
-        slots = self.fixed_slots or self.max_people
+        # Slot policy: same grow-only high-water bucket as _track_and_pose
+        # — NOT max_people, which would pose 64 static crops per frame in
+        # a 2-person scene. The count must be picked before this frame's
+        # detector runs (one program), so ratchet from PAST frames; rows
+        # beyond it ride the fallback pose dispatch below and the ratchet
+        # catches up on the next detection frame.
+        if self.fixed_slots is not None:
+            slots = self.fixed_slots
+        else:
+            slots = max(self._slots_highwater,
+                        bucket_slots(1, max_slots=self.max_people))
         gate = (self.tracker.low_thresh
                 if self.tracker is not None
                 and self.tracker_type == "bytetrack"
@@ -397,6 +407,13 @@ class VitInference:
         if ids is None:
             ids = list(range(len(rows)))
         scores = rows[:, 4].tolist()
+        if self.fixed_slots is None:
+            # ratchet for the next detection frame (grow-only: person
+            # counts crossing a power of two never flap the compiled shape)
+            self._slots_highwater = max(
+                self._slots_highwater,
+                bucket_slots(max(len(res_pd), len(rows)),
+                             max_slots=self.max_people))
 
         frame_keypoints: Dict[Any, np.ndarray] = {}
         scores_bbox: Dict[Any, float] = {}

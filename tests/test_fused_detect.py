@@ -88,3 +88,27 @@ def test_single_dispatch_skipped_frames_use_old_path(ckpt_npz, yolo_npz):  # noq
                single_dispatch=True, max_people=8)
     outs = [fus.inference(_frame(t % 2)) for t in range(5)]
     assert all(isinstance(o, dict) for o in outs)
+
+
+def test_single_dispatch_slot_highwater(ckpt_npz, yolo_npz):  # noqa: F811
+    """Unpinned slot count follows the grow-only high-water bucket (same
+    policy as the two-program path), NOT max_people: a 2-person scene must
+    not pose 64 static crops per detection frame. Overflow on ratchet
+    frames rides the fallback pose dispatch, so outputs stay complete."""
+    from easy_vitpose_tpu.pipeline.pose_step import bucket_slots
+    fus = make(ckpt_npz, yolo_npz, is_video=True, single_dispatch=True,
+               max_people=8)
+    assert fus._slots_highwater == 0        # frame 1 compiles 1 slot
+    out1 = fus.inference(_frame(0))
+    hw1 = fus._slots_highwater
+    n1 = 0 if fus._yolo_res is None else len(fus._yolo_res)
+    assert hw1 <= bucket_slots(max(n1, len(out1), 1), max_slots=8)
+    out2 = fus.inference(_frame(1))
+    assert fus._slots_highwater >= hw1      # grow-only, never flaps down
+    assert isinstance(out1, dict) and isinstance(out2, dict)
+
+    # pinned mode bypasses the ratchet entirely
+    pin = make(ckpt_npz, yolo_npz, is_video=True, single_dispatch=True,
+               max_people=8, fixed_slots=4)
+    pin.inference(_frame(0))
+    assert pin._slots_highwater == 0

@@ -372,7 +372,7 @@ def test_full_train_step_with_fused_opt():
                                    rtol=2e-4, atol=5e-6)
 
 
-def test_resolve_opt_flavor_auto_rules():
+def test_resolve_opt_flavor_auto_rules(monkeypatch):
     """'auto' = Pallas q8 kernel on accelerators only (PERF.md: the XLA
     decode/encode overhead grows with parameter count, +17% ViT-B ->
     +27% ViT-H, vs +3-4% kernel); explicit env always wins."""
@@ -389,4 +389,5 @@ def test_resolve_opt_flavor_auto_rules():
     assert resolve_opt_flavor("f32", env="pallas", backend="tpu") == "pallas"
     # default env comes from EVT_FUSED_OPT / 'auto'; backend from the
     # live default backend (CPU under the test harness)
+    monkeypatch.delenv("EVT_FUSED_OPT", raising=False)
     assert resolve_opt_flavor("int8") == "xla"
