@@ -26,8 +26,12 @@ Semantics vs the two-program path:
   detection frame, or a detection beyond the slot count) fall back to one
   extra pose dispatch on their boxes — the rare path is the old path.
 
-The slot count is STATIC (``fixed_slots`` or ``max_people``): one compiled
-shape, no fetch-before-shape dependency — that is what removes the RTT.
+The slot count is STATIC per compile: ``fixed_slots`` pins it outright;
+otherwise VitInference passes its grow-only high-water bucket (ratcheted
+from past frames — it cannot depend on THIS frame's detection count, that
+fetch-before-shape dependency is exactly what the fusion removes).
+Detections beyond the current bucket ride the fallback dispatch above
+and the bucket catches up on the next detection frame.
 """
 from __future__ import annotations
 
