@@ -109,6 +109,20 @@ def run_one(args, input_path: str) -> None:
         frames = [cv2.cvtColor(img, cv2.COLOR_BGR2RGB)]
         meta = {"fps": 1}
 
+    # Mode-conflict checks BEFORE the (expensive) model load
+    if args.batch and (args.target_fps or args.pipelined):
+        raise SystemExit(
+            "--batch is the offline windowed mode; it is incompatible with "
+            "the live-pacing flags --target-fps (the auto-tuner needs "
+            "steady per-frame timing, not whole-window bursts) and "
+            "--pipelined (the window already overlaps detect and pose)")
+    if args.single_dispatch and (args.batch or args.pipelined):
+        raise SystemExit(
+            "--single-dispatch fuses detector+pose into one program on "
+            "plain per-frame inference only; --pipelined and --batch route "
+            "through their own dispatch schedules and would silently "
+            "ignore it")
+
     # One-Euro timestep from the clip's real frame rate
     smooth_params = ({"fps": float(meta["fps"])}
                      if args.smooth and is_video and meta.get("fps")
@@ -128,19 +142,6 @@ def run_one(args, input_path: str) -> None:
 
     save_media = (args.save_img or args.show) or bool(args.output_path)
     base = os.path.splitext(os.path.basename(str(input_path)))[0]
-
-    if args.batch and (args.target_fps or args.pipelined):
-        raise SystemExit(
-            "--batch is the offline windowed mode; it is incompatible with "
-            "the live-pacing flags --target-fps (the auto-tuner needs "
-            "steady per-frame timing, not whole-window bursts) and "
-            "--pipelined (the window already overlaps detect and pose)")
-    if args.single_dispatch and (args.batch or args.pipelined):
-        raise SystemExit(
-            "--single-dispatch fuses detector+pose into one program on "
-            "plain per-frame inference only; --pipelined and --batch route "
-            "through their own dispatch schedules and would silently "
-            "ignore it")
 
     tuner = None
     if args.target_fps and is_video:

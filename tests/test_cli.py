@@ -211,3 +211,21 @@ def test_infer_cli_trace(vits_ckpt, tmp_path):
     import glob as _glob
     files = _glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
     assert files, "no trace artifacts written"
+
+
+def test_infer_cli_mode_conflicts_fail_before_model_load(tmp_path):
+    """--single-dispatch with --pipelined/--batch (and --batch with live
+    pacing) must error out BEFORE the expensive model load; pass a
+    nonexistent checkpoint path to prove the load is never attempted."""
+    from easy_vitpose_tpu.cli.infer import main
+    img = np.random.default_rng(0).integers(0, 255, (60, 80, 3), np.uint8)
+    ip = str(tmp_path / "img.png")
+    cv2.imwrite(ip, img)
+    missing = str(tmp_path / "nope" / "vitpose-s-coco.npz")
+    base = ["--input", ip, "--model", missing, "--model-name", "s"]
+    with pytest.raises(SystemExit, match="single-dispatch"):
+        main(base + ["--single-dispatch", "--pipelined"])
+    with pytest.raises(SystemExit, match="single-dispatch"):
+        main(base + ["--single-dispatch", "--batch", "4"])
+    with pytest.raises(SystemExit, match="offline windowed"):
+        main(base + ["--batch", "4", "--pipelined"])
