@@ -2,10 +2,13 @@
 
 Measures the fused pose step (on-device crop sampling from a 1080p frame +
 ViT-B forward + deconv head + UDP decode + un-crop) with a full 64-person
-slot batch — the serving configuration.  Default dtype is int8 (W8A8
-quantized blocks, models/quant.py), the shipping serving config: its AP is
-gated within the 0.3-point parity envelope of bf16 by the memorized-model
-COCO proxy (scripts/validate_e2e.py; docs/QUANTIZATION.md has the numbers).
+slot batch — the serving configuration.  Default dtype is size-aware:
+int8 (W8A8 quantized blocks, models/quant.py) at ViT-B/L/H — the shipping
+serving config, AP-gated within the 0.3-point parity envelope of bf16 by
+the memorized-model COCO proxy (scripts/validate_e2e.py;
+docs/QUANTIZATION.md has the numbers) — and bf16 at ViT-S, where int8 is
+a measured null (1.00x, PERF.md) and would carry quantization risk for
+zero gain.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
 
@@ -41,9 +44,12 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="timed repetitions; the best is reported")
     ap.add_argument("--size", default="b", choices=["s", "b", "l", "h"])
-    ap.add_argument("--dtype", default="int8",
-                    choices=["int8", "bf16", "fp32"],
-                    help="int8 = W8A8 quantized serving (AP-gated vs bf16)")
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "int8", "bf16", "fp32"],
+                    help="int8 = W8A8 quantized serving (AP-gated vs bf16). "
+                         "auto = int8 at b/l/h, bf16 at s: int8 is a "
+                         "measured null at ViT-S (1.00x, PERF.md), so the "
+                         "default doesn't carry quantization for zero gain")
     ap.add_argument("--fp32", action="store_true",
                     help="alias for --dtype fp32")
     ap.add_argument("--height", type=int, default=1080)
@@ -80,6 +86,8 @@ def main():
 
     if args.fp32:
         args.dtype = "fp32"
+    if args.dtype == "auto":
+        args.dtype = "bf16" if args.size == "s" else "int8"
     cfg = get_model_config("coco", args.size)
     quant = args.dtype == "int8"
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
