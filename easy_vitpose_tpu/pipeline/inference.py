@@ -377,42 +377,17 @@ class VitInference:
 
         results = YoloDetector.unpack(packed, (H, W))
         res_pd0 = self._filter_dets(results)
-        # sanitize keeping the global det index (pose slot j == row j:
-        # nms_fixed compacts valid rows to a score-sorted prefix, so the
-        # conf gate keeps a prefix and indices line up with pose slots)
-        if len(res_pd0):
-            ok = (np.isfinite(res_pd0[:, :4]).all(1)
-                  & (res_pd0[:, 2] > res_pd0[:, 0])
-                  & (res_pd0[:, 3] > res_pd0[:, 1]))
-            det_idx = np.where(ok)[0]
-            res_pd = res_pd0[ok]
-        else:
-            det_idx = np.empty((0,), int)
-            res_pd = res_pd0
-
-        if self.tracker is not None:
-            rows = self.tracker.update(res_pd, det_indices=det_idx)
-            emitted_di = self.tracker.emitted_det_idx
-            keep = np.isfinite(rows[:, :4]).all(1)
-            rows, emitted_di = rows[keep], emitted_di[keep]
-            ids = rows[:, 5].astype(int).tolist()
-        else:
-            rows, emitted_di, ids = res_pd, det_idx, None
-        cap = self.fixed_slots or self.max_people
-        if len(rows) > cap:
-            order = np.argsort(-rows[:, 4], kind="stable")[:cap]
-            rows, emitted_di = rows[order], emitted_di[order]
-            if ids is not None:
-                ids = [ids[i] for i in order]
-        if ids is None:
-            ids = list(range(len(rows)))
-        scores = rows[:, 4].tolist()
+        # _track_boxes returns per-output-row indices into res_pd0, and
+        # pose slot j == res_pd0 row j: nms_fixed compacts valid rows to a
+        # score-sorted prefix, so the conf gate keeps a prefix and indices
+        # line up with pose slots.
+        rows, ids, scores, emitted_di = self._track_boxes(res_pd0)
         if self.fixed_slots is None:
             # ratchet for the next detection frame (grow-only: person
             # counts crossing a power of two never flap the compiled shape)
             self._slots_highwater = max(
                 self._slots_highwater,
-                bucket_slots(max(len(res_pd), len(rows)),
+                bucket_slots(max(len(res_pd0), len(rows)),
                              max_slots=self.max_people))
 
         frame_keypoints: Dict[Any, np.ndarray] = {}
@@ -565,7 +540,7 @@ class VitInference:
                 results = dets[i]
                 if len(results):
                     res_pd = self._filter_dets(results)
-            res_pd, ids, scores = self._track_boxes(res_pd)
+            res_pd, ids, scores, _ = self._track_boxes(res_pd)
             per_frame.append((res_pd, ids, scores, results))
             for row in res_pd:
                 all_boxes.append(row[:4])
@@ -637,37 +612,44 @@ class VitInference:
             if due else None
 
     def _track_boxes(self, res_pd):
-        """Host tracking stage shared by the sequential and batched paths:
-        sanitize -> SORT update -> finite filter -> score-cap.  Returns
-        (res_pd rows, ids, scores)."""
+        """Host tracking stage shared by the sequential, batched, and fused
+        paths: sanitize -> tracker update -> finite filter -> score-cap.
+
+        Returns (rows, ids, scores, det_idx) where ``det_idx`` maps each
+        output row to its index in the INPUT ``res_pd`` (-1 for tracker
+        coast rows with no detection this frame).  The single-dispatch
+        pipeline keys pre-computed pose slots with it; the plain paths
+        ignore it."""
         # drop degenerate/non-finite boxes (a well-formed detector never
         # emits them, but the Kalman sqrt would NaN on x2<=x1)
         from ..track.sort import sanitize_detections
-        res_pd = sanitize_detections(res_pd)
+        res_pd, kept = sanitize_detections(res_pd, return_indices=True)
 
         ids = None
         if self.tracker is not None:
-            res_pd = self.tracker.update(res_pd)
-            keep = np.isfinite(res_pd[:, :4]).all(1)
-            res_pd = res_pd[keep]
-            ids = res_pd[:, 5].astype(int).tolist()
+            rows, det_idx = self.tracker.update(res_pd, det_indices=kept)
+            keep = np.isfinite(rows[:, :4]).all(1)
+            rows, det_idx = rows[keep], det_idx[keep]
+            ids = rows[:, 5].astype(int).tolist()
+        else:
+            rows, det_idx = res_pd, kept
 
         # cap at max_people (or the pinned slot count), keeping the
         # highest-scored boxes
         cap = self.fixed_slots or self.max_people
-        if len(res_pd) > cap:
-            order = np.argsort(-res_pd[:, 4], kind="stable")[:cap]
-            res_pd = res_pd[order]
+        if len(rows) > cap:
+            order = np.argsort(-rows[:, 4], kind="stable")[:cap]
+            rows, det_idx = rows[order], det_idx[order]
             if ids is not None:
                 ids = [ids[i] for i in order]
 
         if ids is None:
-            ids = list(range(len(res_pd)))
-        return res_pd, ids, res_pd[:, 4].tolist()
+            ids = list(range(len(rows)))
+        return rows, ids, rows[:, 4].tolist(), det_idx
 
     def _track_and_pose(self, img, frame_dev, res_pd, results
                         ) -> Dict[Any, np.ndarray]:
-        res_pd, ids, scores = self._track_boxes(res_pd)
+        res_pd, ids, scores, _ = self._track_boxes(res_pd)
         bboxes_i = res_pd[:, :4].round().astype(int)
 
         frame_keypoints: Dict[Any, np.ndarray] = {}

@@ -65,18 +65,18 @@ class ByteTrack(Sort):
         self.second_iou = second_iou
         self.det_stride = det_stride
 
-    def update(self, dets: np.ndarray = None,
-               det_indices=None) -> np.ndarray:
+    def update(self, dets: np.ndarray = None, det_indices=None):
         """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] including
         LOW-confidence boxes (>= low_thresh).  Same output contract as
-        ``Sort.update`` (confirmed [x1,y1,x2,y2,score,id] rows; coast
-        output on empty-detection frames; ``det_indices`` /
-        ``emitted_det_idx`` as documented there)."""
+        ``Sort.update``: plain confirmed [x1,y1,x2,y2,score,id] rows (coast
+        output on empty-detection frames), or ``(rows, emitted_det_idx)``
+        when ``det_indices`` is given."""
         if dets is None:
             dets = np.empty((0, 5), np.float32)
         dets = np.asarray(dets, np.float32).reshape(-1, 5)
         self.frame_count += 1
         empty_dets = len(dets) == 0
+        want_indices = det_indices is not None
         if det_indices is None:
             det_indices = np.arange(len(dets))
         det_indices = np.asarray(det_indices, int)
@@ -112,4 +112,5 @@ class ByteTrack(Sort):
 
         # 3. new identities from unmatched high-confidence dets only
         self._spawn(high, unmatched_high, high_idx)
-        return self._emit_and_retire(empty_dets)
+        rows, emitted = self._emit_and_retire(empty_dets)
+        return (rows, emitted) if want_indices else rows

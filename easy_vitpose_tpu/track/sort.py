@@ -57,17 +57,20 @@ def associate(dets: np.ndarray, trks: np.ndarray, iou_threshold: float):
     return matches, np.array(unmatched_dets), np.array(unmatched_trks)
 
 
-def sanitize_detections(dets):
+def sanitize_detections(dets, return_indices: bool = False):
     """Drop non-finite / degenerate (x2<=x1 or y2<=y1) detector rows before
     tracking — the Kalman sqrt(s*r) would NaN on them and permanently poison
-    the filter state.  Shared by the single- and multi-stream pipelines."""
-    import numpy as _np
+    the filter state.  Shared by the single- and multi-stream pipelines.
+
+    With ``return_indices=True`` also returns the kept rows' indices into
+    the input — the single-dispatch pipeline aligns pose slots with
+    detector rows through this map."""
     if not len(dets):
-        return dets
-    ok = (_np.isfinite(dets[:, :4]).all(1)
+        return (dets, np.empty((0,), int)) if return_indices else dets
+    ok = (np.isfinite(dets[:, :4]).all(1)
           & (dets[:, 2] > dets[:, 0])
           & (dets[:, 3] > dets[:, 1]))
-    return dets[ok]
+    return (dets[ok], np.where(ok)[0]) if return_indices else dets[ok]
 
 
 class Sort:
@@ -165,10 +168,12 @@ class Sort:
             self.confirmed = np.concatenate([self.confirmed, [False]])
             self._next_id += 1
 
-    def _emit_and_retire(self, empty_dets: bool) -> np.ndarray:
+    def _emit_and_retire(self, empty_dets: bool):
         """Emit confirmed tracks (min_hits warm-up; coast output on
         empty-detection frames, reference sort.py:259-265) and retire
-        tracks older than max_age."""
+        tracks older than max_age.  Returns (rows, emitted_det_idx):
+        per output row, the detection index that updated it this frame
+        (-1 for coast rows)."""
         boxes = kalman.x_to_bbox(self.x) if len(self) else \
             np.zeros((0, 4), np.float32)
         emit = (self.time_since_update < 1) & (
@@ -190,26 +195,24 @@ class Sort:
         self._keep(self.time_since_update <= self.max_age)
 
         if len(ret):
-            self.emitted_det_idx = emit_di
-            return ret
+            return ret, emit_di
         if empty_dets and coasted is not None and len(coasted):
-            self.emitted_det_idx = all_di
-            return coasted
-        self.emitted_det_idx = np.empty((0,), int)
-        return np.empty((0, 6), np.float32)
+            return coasted, all_di
+        return np.empty((0, 6), np.float32), np.empty((0,), int)
 
-    def update(self, dets: np.ndarray = None,
-               det_indices=None) -> np.ndarray:
+    def update(self, dets: np.ndarray = None, det_indices=None):
         """Advance one frame.  dets: (N, 5) [x1,y1,x2,y2,score] (may be empty;
         must be called every frame).  Returns (M, 6) rows
         [x1,y1,x2,y2,score,id] for confirmed tracks — or, on empty-detection
         frames with no confirmed tracks, the coasted predictions of every
         live track (reference sort.py:259-265).
 
-        ``det_indices``: optional per-row global detection indices; after
-        the call ``self.emitted_det_idx`` maps each returned row to the
-        detection that updated it this frame (-1 for coast rows) — the
-        single-dispatch pipeline keys pre-computed keypoints with it."""
+        ``det_indices``: optional per-row global detection indices.  When
+        given, the call instead returns ``(rows, emitted_det_idx)`` where
+        ``emitted_det_idx`` maps each returned row to the detection that
+        updated it this frame (-1 for coast rows) — the single-dispatch
+        pipeline keys pre-computed keypoints with it.  Without it the
+        plain rows keep the reference Sort.update contract."""
         if dets is None:
             dets = np.empty((0, 5), np.float32)
         dets = np.asarray(dets, np.float32).reshape(-1, 5)
@@ -221,4 +224,5 @@ class Sort:
                                                self.iou_threshold)
         self._apply_matches(dets, matched, det_indices)
         self._spawn(dets, unmatched_dets, det_indices)
-        return self._emit_and_retire(empty_dets)
+        rows, emitted = self._emit_and_retire(empty_dets)
+        return rows if det_indices is None else (rows, emitted)

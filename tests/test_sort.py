@@ -119,3 +119,29 @@ def test_crossing_tracks_hungarian():
 def test_associate_empty():
     m, ud, ut = associate(np.zeros((3, 5)), np.zeros((0, 4)), 0.3)
     assert len(m) == 0 and list(ud) == [0, 1, 2]
+
+
+def test_update_with_det_indices_returns_tuple():
+    """The extended call form returns (rows, emitted_det_idx); the plain
+    call keeps the reference Sort.update contract (rows only) and the
+    per-call result is never surfaced as a mutable attribute."""
+    t = Sort(max_age=2, min_hits=1, iou_threshold=0.3)
+    rows = t.update(box(0, 0)[None])
+    assert isinstance(rows, np.ndarray) and rows.shape == (1, 6)
+    assert not hasattr(t, "emitted_det_idx")
+
+    dets = np.stack([box(0, 0), box(300, 300)])
+    rows, emitted = t.update(dets, det_indices=np.array([7, 9]))
+    # the matched track maps to global det index 7 (the fresh spawn at
+    # (300,300) is still min_hits-warm and not emitted this frame)
+    got = {int(r[5]): int(d) for r, d in zip(rows, emitted)}
+    assert got == {1: 7}
+    # next frame the spawned track has its hit streak and emits too
+    rows, emitted = t.update(dets, det_indices=np.array([7, 9]))
+    got = {int(r[5]): int(d) for r, d in zip(rows, emitted)}
+    assert got == {1: 7, 2: 9}
+
+    # coast frame: emitted rows carry -1 (no detection this frame)
+    rows, emitted = t.update(np.empty((0, 5)),
+                             det_indices=np.empty((0,), int))
+    assert len(rows) and (emitted == -1).all()
