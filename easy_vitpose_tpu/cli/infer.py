@@ -76,10 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto-tune yolo_step to hold this FPS on live/video "
                         "input (detection cadence is the elastic cost; the "
                         "tracker coasts between detections)")
-    p.add_argument("--single-dispatch", action="store_true",
+    p.add_argument("--single-dispatch", action="store_true", default=None,
                    help="fuse detector+pose into ONE device program on "
                         "detection frames (one dispatch + one fetch; see "
-                        "pipeline/fused_detect.py for the exact semantics)")
+                        "pipeline/fused_detect.py for the exact semantics). "
+                        "Default: ON for images / --single-pose, where the "
+                        "fused path is pinned exactly equivalent; opt-in "
+                        "for video tracker mode (pose crops come from the "
+                        "raw detection boxes there — IDs identical, "
+                        "sub-pixel crop shift on keypoints)")
+    p.add_argument("--no-single-dispatch", dest="single_dispatch",
+                   action="store_false",
+                   help="force the two-program (detect, then pose) path "
+                        "even where fusion is the default")
     p.add_argument("--trace", default="", metavar="LOGDIR",
                    help="capture a TensorBoard-viewable jax.profiler device "
                         "trace of the run into LOGDIR (utils/profiling.py; "

@@ -62,7 +62,7 @@ class VitInference:
                  smooth: bool = False,
                  smooth_params: Optional[dict] = None,
                  tracker: str = "sort",
-                 single_dispatch: bool = False):
+                 single_dispatch: Optional[bool] = None):
         assert os.path.exists(model), f"The model file {model} does not exist"
         if yolo is not None:
             assert os.path.exists(yolo), f"The YOLO model {yolo} does not exist"
@@ -86,11 +86,15 @@ class VitInference:
         self.max_people = max_people
         # Fuse detector + pose into ONE program on detection frames
         # (pipeline/fused_detect.py): one dispatch + one fetch instead of
-        # two of each.  Slot count is pinned to fixed_slots or max_people
-        # (static shape — no fetch-before-shape dependency).  Tracker-less
-        # modes are exact; in video tracker mode pose runs on the RAW
-        # detection boxes instead of the Kalman-updated ones (IDs
-        # identical; sub-pixel crop shift on the keypoints).
+        # two of each — measured 1.69x per detection frame through a
+        # tunnel-attached host.  Tracker-less modes (images, single_pose)
+        # are EXACT vs the two-program path (tests/test_fused_detect.py),
+        # so the default (None) turns fusion ON there; in video tracker
+        # mode pose runs on the RAW detection boxes instead of the
+        # Kalman-updated ones (IDs identical; sub-pixel crop shift on the
+        # keypoints), so it stays opt-in (pass single_dispatch=True).
+        if single_dispatch is None:
+            single_dispatch = not (is_video and not single_pose)
         self.single_dispatch = single_dispatch
         # 'sort' (reference behaviour) | 'bytetrack' (BYTE second
         # association: low-confidence detections sustain — never create —

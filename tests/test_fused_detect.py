@@ -31,8 +31,20 @@ def make(ckpt, yolo, **kw):
                         model_cfg=CASES["tiny"], **kw)
 
 
+def test_default_policy(ckpt_npz, yolo_npz):  # noqa: F811
+    """single_dispatch defaults ON exactly where fusion is pinned exact:
+    image and single_pose modes (no tracker); opt-in for video tracking."""
+    assert make(ckpt_npz, yolo_npz, is_video=False).single_dispatch
+    assert make(ckpt_npz, yolo_npz, is_video=True,
+                single_pose=True).single_dispatch
+    assert not make(ckpt_npz, yolo_npz, is_video=True).single_dispatch
+    assert make(ckpt_npz, yolo_npz, is_video=True,
+                single_dispatch=True).single_dispatch
+
+
 def test_image_mode_exact_equivalence(ckpt_npz, yolo_npz):  # noqa: F811
-    ref = make(ckpt_npz, yolo_npz, is_video=False, max_people=8)
+    ref = make(ckpt_npz, yolo_npz, is_video=False, single_dispatch=False,
+               max_people=8)
     fus = make(ckpt_npz, yolo_npz, is_video=False, single_dispatch=True,
                max_people=8)
     for seed in range(3):
