@@ -48,6 +48,11 @@ def build_parser():
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-pipeline", action="store_true",
                    help="synchronous ticks (pipelined is the default)")
+    p.add_argument("--single-dispatch", action="store_true",
+                   help="fuse detector + pose into ONE program per detection "
+                        "tick (pipeline/fused_detect.py): IDs identical, "
+                        "pose crops use the raw detection boxes instead of "
+                        "the Kalman-updated ones")
     p.add_argument("--shard-streams", action="store_true",
                    help="shard the streams across all local devices "
                         "(data-parallel serving over a jax.sharding mesh; "
@@ -101,7 +106,8 @@ def main(argv=None):
                          yolo_step=args.yolo_step,
                          max_people_per_stream=args.max_people_per_stream,
                          compute_dtype=dtype, quant=quant, mesh=mesh,
-                         smooth=args.smooth, tracker=args.tracker)
+                         smooth=args.smooth, tracker=args.tracker,
+                         single_dispatch=args.single_dispatch)
 
     readers = [iter(VideoReader(p)) for p in args.inputs]
     logs = [[] for _ in args.inputs]

@@ -362,14 +362,12 @@ def detect_frame_jit(params, frame, geom, spec: YoloSpec, imgsz: int,
                              conf_t, iou_t, max_det, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "geom", "spec", "imgsz", "classes", "conf_t", "iou_t", "max_det", "dtype"))
-def detect_batch_jit(params, frames, geom, spec: YoloSpec, imgsz: int,
-                     classes, conf_t: float, iou_t: float, max_det: int,
-                     dtype):
-    """Batched multi-stream detection: (S, H, W, 3) frames -> (S, max_det, 7)
-    packed [x1,y1,x2,y2,conf,cls,valid] in ONE program + ONE fetch (the
-    per-stream path would pay one tunnel RTT per stream)."""
+def detect_batch_core(params, frames, geom, spec: YoloSpec, classes,
+                      conf_t: float, iou_t: float, max_det: int, dtype):
+    """Traceable batched detect core: (S, H, W, 3) frames -> (S, max_det, 7)
+    packed [x1,y1,x2,y2,conf,cls,valid], score-sorted with the valid rows
+    compacted to a prefix per stream.  Shared by detect_batch_jit and the
+    fused multi-stream detect+pose program (pipeline/fused_detect.py)."""
     r, new_w, new_h, left, top, cw, ch = geom
 
     def one(frame):
@@ -394,6 +392,18 @@ def detect_batch_jit(params, frames, geom, spec: YoloSpec, imgsz: int,
                                 vv.astype(jnp.float32)[:, None]], axis=1)
 
     return jax.vmap(nms_one)(boxes, conf, cls)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "spec", "imgsz", "classes", "conf_t", "iou_t", "max_det", "dtype"))
+def detect_batch_jit(params, frames, geom, spec: YoloSpec, imgsz: int,
+                     classes, conf_t: float, iou_t: float, max_det: int,
+                     dtype):
+    """Batched multi-stream detection: (S, H, W, 3) frames -> (S, max_det, 7)
+    packed [x1,y1,x2,y2,conf,cls,valid] in ONE program + ONE fetch (the
+    per-stream path would pay one tunnel RTT per stream)."""
+    return detect_batch_core(params, frames, geom, spec, classes, conf_t,
+                             iou_t, max_det, dtype)
 
 
 def detect_head_channels(spec: YoloSpec) -> Tuple[int, int]:

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import ModelConfig
-from ..detect.yolo import detect_frame_core
+from ..detect.yolo import detect_batch_core, detect_frame_core
 from .pose_step import pose_step
 
 
@@ -79,3 +79,64 @@ def detect_pose_jit(yolo_params, pose_params, frame,
                      flip_pairs=flip_pairs, sampler=sampler,
                      block_impl=block_impl)
     return packed, kpts
+
+
+def detect_pose_multi(yolo_params, pose_params, frames,
+                      geom, spec, classes, conf_nms: float, iou_t: float,
+                      max_det: int, det_dtype, cfg: ModelConfig,
+                      slots: int, gate: float,
+                      compute_dtype=jnp.float32, modulate_kernel: int = 11,
+                      flip_pairs=None, block_impl: str = "xla"):
+    """Traceable fused MULTI-STREAM tick: frames (S, H, W, 3) uint8 ->
+    (packed (S, max_det, 7), keypoints (S*slots, K, 3)).
+
+    The multi-stream twin of :func:`detect_pose_jit`: ONE program runs the
+    batched detector over all S stream frames and feeds each stream's first
+    ``slots`` packed rows (its per-stream pose slot block — slot s*slots+j is
+    detection j of stream s) straight into the batched pose step, each crop
+    gathering from its own frame.  The host fetches (packed, keypoints) once
+    per tick and the per-stream trackers associate IDs afterwards — instead
+    of detect-dispatch -> fetch -> host track -> pose-dispatch -> fetch every
+    tick (the reference pays that boundary per PERSON per frame,
+    easy_ViTPose/inference.py:237-241,320-328).
+
+    Shared by the jit wrapper below and MultiStreamPose's shard_map twin
+    (frames shard on the stream axis; the per-stream slot blocks keep every
+    crop's frame gather shard-local, so there are no collectives).
+    """
+    packed = detect_batch_core(yolo_params, frames, geom, spec, classes,
+                               conf_nms, iou_t, max_det, det_dtype)
+    S, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    rows = packed[:, :slots].reshape(S * slots, 7)
+    wh = jnp.asarray([W, H, W, H], jnp.float32)
+    boxes = jnp.clip(rows[:, :4], 0.0, wh)      # unpack_batch clip
+    mask = ((rows[:, 6] > 0)
+            & (rows[:, 4] > gate)
+            & jnp.isfinite(boxes).all(axis=1)   # sanitize_detections
+            & (boxes[:, 2] > boxes[:, 0])
+            & (boxes[:, 3] > boxes[:, 1]))
+    fidx = jnp.arange(S * slots, dtype=jnp.int32) // slots
+    kpts = pose_step(pose_params, frames, boxes, mask, cfg,
+                     compute_dtype=compute_dtype,
+                     modulate_kernel=modulate_kernel,
+                     flip_pairs=flip_pairs, frame_idx=fidx,
+                     block_impl=block_impl)
+    return packed, kpts
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "spec", "classes", "conf_nms", "iou_t", "max_det", "det_dtype",
+    "cfg", "slots", "gate", "compute_dtype", "modulate_kernel", "flip_pairs",
+    "block_impl"))
+def detect_pose_multi_jit(yolo_params, pose_params, frames,
+                          geom, spec, classes, conf_nms: float, iou_t: float,
+                          max_det: int, det_dtype, cfg: ModelConfig,
+                          slots: int, gate: float,
+                          compute_dtype=jnp.float32,
+                          modulate_kernel: int = 11,
+                          flip_pairs=None, block_impl: str = "xla"):
+    return detect_pose_multi(yolo_params, pose_params, frames, geom, spec,
+                             classes, conf_nms, iou_t, max_det, det_dtype,
+                             cfg, slots, gate, compute_dtype=compute_dtype,
+                             modulate_kernel=modulate_kernel,
+                             flip_pairs=flip_pairs, block_impl=block_impl)

@@ -58,7 +58,8 @@ class MultiStreamPose:
                  max_people_per_stream: int = 8,
                  compute_dtype=jnp.bfloat16, quant: bool = False,
                  mesh=None, smooth: bool = False,
-                 smooth_params=None, tracker: str = "sort"):
+                 smooth_params=None, tracker: str = "sort",
+                 single_dispatch: bool = False):
         self.params = params
         self.cfg = cfg
         self.detector = detector
@@ -88,7 +89,17 @@ class MultiStreamPose:
         self.smooth = bool(smooth)
         self._smooth_kw = dict(smooth_params or {})
         self._smoothers = [dict() for _ in range(n_streams)]
-        self._pending = None  # (frames_dev, detect handle) of the last tick
+        # Single-dispatch ticks (pipeline/fused_detect.py::detect_pose_multi):
+        # detection ticks run batched detector + batched pose as ONE jitted
+        # program and fetch once; trackers associate afterwards.  Same
+        # semantics contract as the single-stream fusion: IDs identical,
+        # pose runs on the RAW detection boxes instead of the Kalman-updated
+        # ones (opt-in, like VitInference's video tracker mode).  Needs a
+        # real parameterized detector (the duck-typed stub protocol only has
+        # detect_batch_async).
+        self.single_dispatch = bool(single_dispatch and detector is not None
+                                    and hasattr(detector, "params"))
+        self._pending = None  # ("plain", frames_dev, det) | ("fused", frames_dev, handles)
         from .pose_step import default_block_impl
         self.block_impl = default_block_impl(compute_dtype=compute_dtype)
         if quant:
@@ -111,6 +122,10 @@ class MultiStreamPose:
             self._stream_sh = batch_sharded(mesh, axis)
             self.params = jax.device_put(self.params, replicated(mesh))
             self._sharded_pose = self._build_sharded_pose(mesh, axis)
+            if self.single_dispatch:
+                self.detector.params = jax.device_put(self.detector.params,
+                                                      replicated(mesh))
+        self._sharded_fused_cache = {}  # geom -> compiled shard_map tick
 
     # ------------------------------------------------------------ plumbing
 
@@ -146,12 +161,16 @@ class MultiStreamPose:
             arr = jax.device_put(arr, self._stream_sh)
         return arr
 
+    def _det_due(self) -> bool:
+        """Detection cadence for this tick (reference inference.py:235-236)."""
+        return (self.frame_counter % self.yolo_step == 0
+                or self.frame_counter < 3)
+
     def _dispatch_detect(self, frames_dev):
         """Dispatch detection for this tick (cadence-gated) WITHOUT fetching.
         Returns a device handle (batched path), a list of numpy results
         (per-frame fallback), or None (skipped tick)."""
-        run_det = (self.frame_counter % self.yolo_step == 0
-                   or self.frame_counter < 3)
+        run_det = self._det_due()
         self.frame_counter += 1
         if not run_det or self.detector is None:
             return None
@@ -175,6 +194,10 @@ class MultiStreamPose:
         """Synchronous tick: frames -> per-stream {track_id: (K, 3)}."""
         frames_dev = self._upload(frames)
         H, W = frames_dev.shape[1:3]
+        if boxes_per_stream is None and self.single_dispatch \
+                and self._det_due():
+            handles = self._dispatch_fused(frames_dev)
+            return self._collect_fused(handles, frames_dev)
         if boxes_per_stream is None:
             boxes_per_stream = self._boxes_from_detect(
                 self._dispatch_detect(frames_dev), (H, W))
@@ -188,35 +211,163 @@ class MultiStreamPose:
         """Pipelined tick: returns results for the PREVIOUS frames (None on
         the first call; call :meth:`flush` for the final tick).
 
-        Ordering hides the tunnel RTTs under device work: fetch detect(t-1)
-        (its compute already overlapped last tick's host time) -> host track
-        -> dispatch pose(t-1) -> dispatch detect(t) -> fetch pose(t-1); the
-        detect(t) program runs while the host waits on the pose fetch and
-        does tracking bookkeeping (VERDICT r1 item 6)."""
+        Two-program mode hides one RTT: fetch detect(t-1) (its compute
+        already overlapped last tick's host time) -> host track -> dispatch
+        pose(t-1) -> dispatch detect(t) -> fetch pose(t-1); the detect(t)
+        program runs while the host waits on the pose fetch and does
+        tracking bookkeeping (VERDICT r1 item 6).
+
+        Single-dispatch mode hides EVERYTHING: the fused detect+pose program
+        for tick t depends only on tick t's frames (the pose boxes are the
+        raw detections, not tracker state), so it is dispatched before tick
+        t-1 is even fetched — the device pipeline stays 2 deep and all host
+        tracking + both RTTs overlap device work."""
         frames_dev = self._upload(frames)
-        results = None
-        if self._pending is not None:
-            prev_dev, prev_det = self._pending
-            H, W = prev_dev.shape[1:3]
-            boxes = self._boxes_from_detect(prev_det, (H, W))
-            handle, book = self._track_and_pose(prev_dev, boxes)
-            det_t = self._dispatch_detect(frames_dev)  # before pose fetch
-            results = self._collect(handle, book)
+        # dispatch tick t FIRST — neither tick kind depends on host tracker
+        # state at dispatch time, so it always overlaps the t-1 fetches below
+        if self.single_dispatch and self._det_due():
+            tick = ("fused", frames_dev, self._dispatch_fused(frames_dev))
         else:
-            det_t = self._dispatch_detect(frames_dev)
-        self._pending = (frames_dev, det_t)
+            tick = ("plain", frames_dev, self._dispatch_detect(frames_dev))
+        results = self._process_pending() if self._pending is not None else None
+        self._pending = tick
         return results
 
     def flush(self) -> Optional[List[Dict[int, np.ndarray]]]:
         """Drain the pipeline: process and return the last pending tick."""
         if self._pending is None:
             return None
-        prev_dev, prev_det = self._pending
+        return self._process_pending()
+
+    def _process_pending(self) -> List[Dict[int, np.ndarray]]:
+        kind, prev_dev, payload = self._pending
         self._pending = None
+        if kind == "fused":
+            return self._collect_fused(payload, prev_dev)
         H, W = prev_dev.shape[1:3]
-        boxes = self._boxes_from_detect(prev_det, (H, W))
+        boxes = self._boxes_from_detect(payload, (H, W))
         handle, book = self._track_and_pose(prev_dev, boxes)
         return self._collect(handle, book)
+
+    # ------------------------------------------------ single-dispatch tick
+
+    def _dispatch_fused(self, frames_dev):
+        """Dispatch the fused detect+pose program for this tick WITHOUT
+        fetching; returns the (packed, keypoints) device handles."""
+        from ..detect.yolo import letterbox_geometry
+        det = self.detector
+        H, W = frames_dev.shape[1:3]
+        geom = letterbox_geometry(H, W, det.imgsz,
+                                  rect=getattr(det, "rect", False))
+        self.frame_counter += 1
+        if self.mesh is not None:
+            return self._sharded_fused(geom)(det.params, self.params,
+                                             frames_dev)
+        from .fused_detect import detect_pose_multi_jit
+        return detect_pose_multi_jit(
+            det.params, self.params, frames_dev, geom, det.spec,
+            det.classes, det.conf, det.iou, det.max_det, det.dtype,
+            self.cfg, self.max_pp, float(self._det_gate),
+            compute_dtype=self.dtype, block_impl=self.block_impl)
+
+    def _sharded_fused(self, geom):
+        """Stream-parallel fused tick via shard_map (one compiled program per
+        letterbox geometry): each device runs the SAME single-chip fused
+        detect+pose program over its local streams.  The per-stream slot
+        blocks keep every crop's frame gather shard-local — no collectives
+        (same layout argument as _build_sharded_pose)."""
+        fn = self._sharded_fused_cache.get(geom)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .fused_detect import detect_pose_multi
+            det = self.detector
+            cfg, dtype, impl = self.cfg, self.dtype, self.block_impl
+            slots, gate = self.max_pp, float(self._det_gate)
+            spec, classes = det.spec, det.classes
+            conf, iou = det.conf, det.iou
+            max_det, ddtype = det.max_det, det.dtype
+
+            def inner(yolo_params, pose_params, frames):
+                return detect_pose_multi(
+                    yolo_params, pose_params, frames, geom, spec, classes,
+                    conf, iou, max_det, ddtype, cfg, slots, gate,
+                    compute_dtype=dtype, block_impl=impl)
+
+            axis = self.mesh.axis_names[0]
+            fn = jax.jit(shard_map(inner, mesh=self.mesh,
+                                   in_specs=(P(), P(), P(axis)),
+                                   out_specs=(P(axis), P(axis)),
+                                   check_vma=False))
+            self._sharded_fused_cache[geom] = fn
+        return fn
+
+    def _collect_fused(self, handles, frames_dev
+                       ) -> List[Dict[int, np.ndarray]]:
+        """Fetch the fused tick ONCE, then associate per-stream track IDs to
+        the already-posed detections (pose slot si*max_pp+j is detection j of
+        stream si — nms_fixed compacts valid rows to a score-sorted prefix,
+        so the host conf gate keeps a prefix and indices line up).  Tracker
+        rows emitted WITHOUT an in-slot detection this tick (coast rows, or
+        detections beyond max_pp) ride one batched fallback pose dispatch on
+        their tracker boxes — the rare path is the old path."""
+        from ..detect.yolo import YoloDetector
+        from ..track.sort import sanitize_detections
+        H, W = frames_dev.shape[1:3]
+        packed, kpts = jax.device_get(handles)
+        dets = YoloDetector.unpack_batch(packed, (H, W))
+
+        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
+        fb_boxes: List[np.ndarray] = []
+        fb_keys: List[tuple] = []  # (stream, track_id)
+        for si in range(self.n):
+            r = dets[si]
+            res_pd = (r[r[:, 4] > self._det_gate][:, :5] if len(r)
+                      else np.empty((0, 5), np.float32))
+            res_pd, kept = sanitize_detections(res_pd, return_indices=True)
+            rows, det_idx = self.trackers[si].update(res_pd, det_indices=kept)
+            keep = np.isfinite(rows[:, :4]).all(1)
+            rows, det_idx = rows[keep][:self.max_pp], det_idx[keep][:self.max_pp]
+            for row, di in zip(rows, det_idx):
+                tid = int(row[5])
+                di = int(di)
+                if 0 <= di < self.max_pp:
+                    results[si][tid] = kpts[si * self.max_pp + di]
+                else:
+                    fb_keys.append((si, tid))
+                    fb_boxes.append(row[:4])
+
+        if fb_boxes:
+            from .pose_step import bucket_slots
+            nb = len(fb_boxes)
+            M = bucket_slots(nb, max_slots=self.n * self.max_pp)
+            boxes = np.zeros((M, 4), np.float32)
+            fidx = np.zeros((M,), np.int32)
+            mask = np.zeros((M,), bool)
+            boxes[:nb] = np.stack(fb_boxes)
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, W)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, H)
+            fidx[:nb] = [si for si, _ in fb_keys]
+            mask[:nb] = True
+            # fallback runs unsharded (single-chip program) even under a
+            # mesh: coast rows are rare and arbitrary (stream, slot) pairs
+            # don't respect the per-stream block layout
+            frames_local = (jax.device_get(frames_dev) if self.mesh is not None
+                            else frames_dev)
+            out = np.asarray(_pose_multi_frame(
+                self.params, jnp.asarray(frames_local), jnp.asarray(boxes),
+                jnp.asarray(fidx), jnp.asarray(mask), self.cfg,
+                compute_dtype=self.dtype, block_impl=self.block_impl))
+            for j, (si, tid) in enumerate(fb_keys[:M]):
+                results[si][tid] = out[j]
+
+        if self.smooth:
+            from ..ops.one_euro import apply_track_smoothing
+            results = [apply_track_smoothing(r, self._smoothers[si],
+                                             **self._smooth_kw)
+                       for si, r in enumerate(results)]
+        return results
 
     def _track_and_pose(self, frames_dev, boxes_per_stream):
         H, W = frames_dev.shape[1:3]

@@ -1,4 +1,4 @@
-"""TPU A/B: multi-stream tick, sync step() vs pipelined step_pipelined().
+"""TPU A/B: multi-stream tick — sync vs pipelined vs single-dispatch fused.
 
 PERF.md round-1 config: 8 x 720p streams, ViT-H pose + YOLOv8x detector,
 4 tracked people/stream, detection every tick -> 187 ms/tick sync, of which
@@ -6,7 +6,15 @@ PERF.md round-1 config: 8 x 720p streams, ViT-H pose + YOLOv8x detector,
 dispatch -> pose fetch).  The pipelined tick dispatches detect(t) before
 fetching pose(t-1), hiding host work and one RTT under device work.
 
+Round-5 lanes (VERDICT r4 item 1): `fused` composes the batched detector +
+batched pose into ONE jitted program per tick
+(pipeline/fused_detect.py::detect_pose_multi) — one dispatch + one fetch —
+and `fused_pipelined` additionally dispatches tick t before fetching tick
+t-1 (the fused program depends only on its own frames, so the device
+pipeline stays 2 deep and ALL host tracking + RTT hides under device work).
+
 Usage: python scripts/bench_multistream.py [--ticks 20] [--size h] [--yolo x]
+       [--dtype int8] [--lanes sync pipelined fused fused_pipelined]
 """
 import argparse
 import json
@@ -18,6 +26,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+ALL_LANES = ("sync", "pipelined", "fused", "fused_pipelined")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,6 +37,8 @@ def main():
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--pp", type=int, default=4)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--lanes", nargs="+", default=list(ALL_LANES),
+                    choices=ALL_LANES)
     args = ap.parse_args()
 
     import jax
@@ -48,45 +60,30 @@ def main():
         params = cast_params(params_f32, jnp.bfloat16)
     del params_f32
 
-    class Det:
-        """YoloDetector protocol over random-init weights (perf is
-        weight-independent)."""
+    def make_det(scale):
+        """YoloDetector over random-init weights (perf is weight-
+        independent).  A real YoloDetector instance (not a stub) so the
+        fused path sees .params/.spec/.imgsz."""
+        det = Y.YoloDetector.__new__(Y.YoloDetector)
+        det.params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16),
+            Y.init_yolo_params(jax.random.PRNGKey(1), Y.YoloSpec(scale)))
+        det.spec = Y.YoloSpec(scale)
+        det.imgsz = 640
+        det.classes = (0,)
+        det.conf = 0.25
+        det.iou = 0.7
+        det.max_det = 32
+        det.dtype = jnp.bfloat16
+        det.rect = True
+        return det
 
-        def __init__(self, scale):
-            self.inner = Y.YoloDetector.__new__(Y.YoloDetector)
-            self.inner.params = jax.tree.map(
-                lambda x: jnp.asarray(x, jnp.bfloat16),
-                Y.init_yolo_params(jax.random.PRNGKey(1), Y.YoloSpec(scale)))
-            self.inner.spec = Y.YoloSpec(scale)
-            self.inner.imgsz = 640
-            self.inner.classes = (0,)
-            self.inner.conf = 0.25
-            self.inner.iou = 0.7
-            self.inner.max_det = 32
-            self.inner.dtype = jnp.bfloat16
-            self.inner.rect = True
-
-        def detect_batch_async(self, frames):
-            return self.inner.detect_batch_async(frames)
-
-        @staticmethod
-        def unpack_batch(packed, hw):
-            return Y.YoloDetector.unpack_batch(packed, hw)
-
-    det = Det(args.yolo)
+    det = make_det(args.yolo)
     rng = np.random.default_rng(0)
     S, H, W = args.streams, 720, 1280
     # upload ONCE and reuse: per-tick 22 MB uploads through the dev tunnel
     # dominate the tick (~1.4 s) and don't represent direct-attached IO
     frames = jnp.asarray(rng.integers(0, 255, (S, H, W, 3), np.uint8))
-    # fixed boxes via a stub tracker seed: let detection drive (random
-    # weights detect garbage, but the tick cost is shape-driven)
-    ms_sync = MultiStreamPose(params, cfg, detector=det, n_streams=S,
-                              yolo_step=1, max_people_per_stream=args.pp,
-                              quant=quant)
-    ms_pipe = MultiStreamPose(params, cfg, detector=det, n_streams=S,
-                              yolo_step=1, max_people_per_stream=args.pp,
-                              quant=quant)
     # seed trackers with synthetic boxes so the pose batch is full
     boxes = [np.stack([rng.uniform(0, W - 300, args.pp),
                        rng.uniform(0, H - 300, args.pp),
@@ -95,32 +92,49 @@ def main():
                        np.full(args.pp, 0.9)], -1).astype(np.float32)
              for _ in range(S)]
 
-    # warmup/compile both paths
-    ms_sync.step(frames, [b.copy() for b in boxes])
-    ms_sync.step(frames)
-    ms_pipe.step_pipelined(frames)
-    ms_pipe.step_pipelined(frames)
-    ms_pipe.flush()
-    ms_pipe._pending = None
+    def make_ms(fused):
+        return MultiStreamPose(params, cfg, detector=det, n_streams=S,
+                               yolo_step=1, max_people_per_stream=args.pp,
+                               quant=quant, single_dispatch=fused)
+
+    instances, runners = {}, {}
+    for lane in args.lanes:
+        ms = make_ms(fused=lane.startswith("fused"))
+        instances[lane] = ms
+        if lane.endswith("pipelined"):
+            runners[lane] = (lambda m: lambda: m.step_pipelined(frames))(ms)
+        else:
+            runners[lane] = (lambda m: lambda: m.step(frames))(ms)
+
+    # warmup/compile every lane
+    for lane, ms in instances.items():
+        ms.step(frames, [b.copy() for b in boxes])
+        runners[lane]()
+        runners[lane]()
+        ms.flush()
+        ms._pending = None
 
     results = {}
-    for name, fn in (("sync", lambda: ms_sync.step(frames)),
-                     ("pipelined", lambda: ms_pipe.step_pipelined(frames))):
-        # refill trackers so slot occupancy matches
-        for ms in (ms_sync, ms_pipe):
-            for tr, b in zip(ms.trackers, boxes):
-                tr.update(b.copy())
+    for lane in args.lanes:
+        ms = instances[lane]
+        # refill trackers so slot occupancy matches across lanes
+        for tr, b in zip(ms.trackers, boxes):
+            tr.update(b.copy())
         t0 = time.perf_counter()
         for _ in range(args.ticks):
-            fn()
-        if name == "pipelined":
-            ms_pipe.flush()
+            runners[lane]()
+        if lane.endswith("pipelined"):
+            ms.flush()
         dt = (time.perf_counter() - t0) / args.ticks * 1e3
-        results[name] = round(dt, 1)
-        print(f"{name}: {dt:.1f} ms/tick "
+        results[lane] = round(dt, 1)
+        print(f"{lane}: {dt:.1f} ms/tick "
               f"({S / dt * 1e3:.1f} stream-fps)", flush=True)
 
-    results["speedup"] = round(results["sync"] / results["pipelined"], 3)
+    if "sync" in results and "pipelined" in results:
+        results["speedup"] = round(results["sync"] / results["pipelined"], 3)
+    if "sync" in results and "fused_pipelined" in results:
+        results["speedup_fused"] = round(
+            results["sync"] / results["fused_pipelined"], 3)
     print(json.dumps(results))
 
 
