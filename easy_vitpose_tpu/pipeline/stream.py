@@ -100,6 +100,11 @@ class MultiStreamPose:
         self.single_dispatch = bool(single_dispatch and detector is not None
                                     and hasattr(detector, "params"))
         self._pending = None  # ("plain", frames_dev, det) | ("fused", frames_dev, handles)
+        # grow-only bucket for the fused path's fallback pose dispatch:
+        # coast/over-slot row counts drift tick to tick, and letting the
+        # bucket flap retriggers XLA compilation mid-stream (~10 s+ for
+        # ViT-H) — same ratchet policy as VitInference._slots_highwater
+        self._fb_highwater = 0
         from .pose_step import default_block_impl
         self.block_impl = default_block_impl(compute_dtype=compute_dtype)
         if quant:
@@ -341,7 +346,10 @@ class MultiStreamPose:
         if fb_boxes:
             from .pose_step import bucket_slots
             nb = len(fb_boxes)
-            M = bucket_slots(nb, max_slots=self.n * self.max_pp)
+            self._fb_highwater = max(
+                self._fb_highwater,
+                bucket_slots(nb, max_slots=self.n * self.max_pp))
+            M = self._fb_highwater
             boxes = np.zeros((M, 4), np.float32)
             fidx = np.zeros((M,), np.int32)
             mask = np.zeros((M,), bool)
