@@ -34,13 +34,20 @@ def vitpose_forward(params: Params, x: jnp.ndarray, cfg: ModelConfig,
     return jnp.transpose(heat, (0, 3, 1, 2))
 
 
+# the TRAINING head lowering (serving uses 'phase'): one home so the
+# generic step (train/step.py) and the manual-VJP step (train/fast_step.py)
+# can never drift apart.  Measured on-chip at ViT-B/64, see
+# scripts/bench_head_train.py and PERF.md "Head lowering is mode-dependent".
+TRAIN_DECONV_IMPL = "dilated"
+
+
 def vitpose_forward_train(params: Params, x: jnp.ndarray, cfg: ModelConfig,
                           rng: Optional[jax.Array] = None,
                           remat: bool = False,
                           block_impl: str = "xla",
                           drop_path_masks=None,
                           axis_name: Optional[str] = None,
-                          deconv_impl: str = "dilated"
+                          deconv_impl: str = TRAIN_DECONV_IMPL
                           ) -> Tuple[jnp.ndarray, Any]:
     """Training forward: returns (heatmaps NCHW, new_bn_state).
 

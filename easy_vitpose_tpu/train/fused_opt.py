@@ -389,11 +389,16 @@ def make_fused_adam(learning_rate: Union[float, Callable],
             nu=nu,
             hyperparams={"learning_rate": jnp.asarray(lr0, jnp.float32)})
 
-    def fused_apply(grads, state, params):
+    def fused_apply(grads, state, params, gnorm=None):
+        """``gnorm``: optionally a PRECOMPUTED global gradient norm (the
+        in-backward norm from train/fast_step.py) — skips the trailing
+        full-gradient reduce that otherwise serializes after the
+        backward.  Must equal sqrt(sum of squares of every grad leaf)."""
         use_pallas = resolve_opt_flavor(moment_dtype) == "pallas"
-        gnorm = jnp.sqrt(sum(
-            jnp.sum(jnp.square(g.astype(jnp.float32)))
-            for g in jax.tree_util.tree_leaves(grads)))
+        if gnorm is None:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
         s = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-16))
         count = state.count + 1
         cf = count.astype(jnp.float32)

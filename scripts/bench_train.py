@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--ab-opt", action="store_true",
                     help="interleave fused-opt (A) against the optax "
                          "chain (B) in one process")
+    ap.add_argument("--ab-inbwd", action="store_true",
+                    help="interleave the in-backward-norm manual-VJP step "
+                         "(train/fast_step.py, A) against the custom-VJP "
+                         "fused step with the same fused Adam (B) — the "
+                         "delta is the trailing global-norm reduce alone")
     ap.add_argument("--ab-moments", default=None, choices=["bf16", "int8"],
                     help="interleave quantized-moment fused Adam (A) "
                          "against f32-moment fused Adam (B): the step-time "
@@ -76,7 +81,8 @@ def main():
                          "pipelining bugs the CPU interpret tests cannot)")
     args = ap.parse_args()
     if args.ema and any((args.ab, args.ab_wide, args.ab_attn, args.ab_mlp,
-                         args.ab_opt, args.ab_input, args.ab_moments)):
+                         args.ab_opt, args.ab_input, args.ab_moments,
+                         args.ab_inbwd)):
         # the B step is built without ema_decay — the pair would confound
         # block/flavor deltas with the EMA pass
         ap.error("--ema cannot be combined with --ab* modes")
@@ -231,7 +237,7 @@ def main():
         os.environ["EVT_TRAIN_ATTN"] = "saved"
     if args.ab_mlp:
         os.environ["EVT_TRAIN_MLP"] = "saved"
-    if (args.fused_opt or args.ab_opt or args.ab_moments
+    if (args.fused_opt or args.ab_opt or args.ab_moments or args.ab_inbwd
             or args.moments != "f32"):
         from easy_vitpose_tpu.train.fused_opt import make_fused_adam
         tx = make_fused_adam(5e-4,
@@ -239,11 +245,18 @@ def main():
     else:
         tx = make_optimizer(5e-4)
     state = init_train_state(params, tx, ema_decay=args.ema)
-    step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
-                                   remat=args.remat, ema_decay=args.ema,
-                                   block_impl="pallas_train" if args.fused
-                                   else "xla"),
-                   donate_argnums=(0,))
+    if args.ab_inbwd:
+        if args.fp32 or args.remat:
+            ap.error("--ab-inbwd is AMP-bf16 fused-block only")
+        from easy_vitpose_tpu.train.fast_step import make_train_step_inbwd
+        step = jax.jit(make_train_step_inbwd(cfg, tx, ema_decay=args.ema),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(make_train_step(cfg, tx, use_amp=not args.fp32,
+                                       remat=args.remat, ema_decay=args.ema,
+                                       block_impl="pallas_train" if args.fused
+                                       else "xla"),
+                       donate_argnums=(0,))
 
     B, K = args.batch, cfg.head.num_keypoints
     rng = np.random.default_rng(0)
@@ -362,6 +375,16 @@ def main():
         sb, mb = step_b(state_b, batch, key)
         jax.block_until_ready(sb)
         print("optax-chain baseline compiled", flush=True)
+    elif args.ab_inbwd:
+        # same fused Adam, but grads via jax.grad over the custom-VJP
+        # blocks + the trailing full-gradient norm reduce
+        step_b = jax.jit(make_train_step(cfg, tx, use_amp=True,
+                                         block_impl="pallas_train"),
+                         donate_argnums=())
+        state_b = init_train_state(params, tx)
+        sb, mb = step_b(state_b, batch, key)
+        jax.block_until_ready(sb)
+        print("custom-VJP baseline compiled", flush=True)
 
     times, times_b = [], []
     for rep in range(args.reps):
@@ -383,6 +406,7 @@ def main():
                       or args.ab_mlp
                       else "f32mom" if args.ab_moments
                       else "optax" if args.ab_opt
+                      else "customvjp" if args.ab_inbwd
                       else "rendered" if args.ab_input else "xla")
             line += f"  | {blabel} {dtb * 1e3:7.2f} ms"
         print(line, flush=True)
@@ -400,6 +424,7 @@ def main():
                 or args.ab_mlp
                 else "f32mom" if args.ab_moments
                 else "optax" if args.ab_opt
+                else "customvjp" if args.ab_inbwd
                 else "rendered" if args.ab_input else "xla")
         result[f"{bkey}_ms_per_step"] = round(medb, 2)
         result[f"speedup_vs_{bkey}"] = round(medb / med, 3)
