@@ -80,6 +80,51 @@ def conv_transpose_s2_phase(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return phases.reshape(B, 2 * H, 2 * W, Cout)
 
 
+def conv_transpose_s2_packed(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Third lowering of the k=4 s=2 convT: one dense stride-1 VALID 3x3
+    conv producing all four sub-pixel phases as 4*Cout channels,
+    reassembled by a pure reshape/transpose.
+
+    MEASURED NULL — kept as the documented record so the idea is not
+    re-tried (repo convention, like the Pallas window sampler): on-chip
+    interleaved at ViT-B/64 train fwd+bwd this measures 9.44 ms vs
+    5.59 ms for 'dilated' (scripts/bench_head_train.py, r5 session; the
+    r4 quiet-session dilated number is 3.60).  The MAC-count theory —
+    9/4 the minimal MACs here vs 4x for 'dilated', and a scatter-free
+    VJP unlike 'phase' — loses to the 4x-wider (B, H, W, 4*Cout) conv
+    output and its transpose reassembly: the stage is bandwidth-bound,
+    not MAC-bound, and 'dilated' writes the (2H, 2W, Cout) result
+    directly.  'dilated' stays the training default
+    (models/vitpose.py::TRAIN_DECONV_IMPL).
+
+    Construction: phase (r, c) output (i, j) needs taps
+    x[i+r-1+dr, j+c-1+dc] (dr, dc in {0,1}), and the union over phases
+    is exactly the 3x3 window centered at (i, j) — each phase zero-pads
+    the unused 5 of 9 positions:
+
+        y[2i+r, 2j+c] = sum_{dr,dc} x[i+r-1+dr, j+c-1+dc] * w[2dr+r, 2dc+c]
+
+    Bit-level: same sums as the lhs-dilated lowering up to float reorder
+    (~1e-6 rel); value+gradient parity pinned in tests/test_head_phase.py.
+    """
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    # (4, 4, Cin, Cout) -> w6[dr, r, dc, c] = w[2dr+r, 2dc+c]
+    w6 = w.reshape(2, 2, 2, 2, Cin, Cout)
+    # phase (r, c) occupies 3x3 positions (r+dr, c+dc): pad its 2x2 taps
+    phases = [jnp.pad(w6[:, r, :, c], ((r, 1 - r), (c, 1 - c),
+                                       (0, 0), (0, 0)))
+              for r in (0, 1) for c in (0, 1)]           # 4 x (3,3,Cin,Cout)
+    k3 = jnp.stack(phases, axis=-2)                      # (3,3,Cin,4,Cout)
+    k3 = k3.reshape(3, 3, Cin, 4 * Cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, k3, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # (B, H, W, 4Cout)
+    y = y.reshape(B, H, W, 2, 2, Cout)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, 2 * H, 2 * W, Cout)
+
+
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
            padding: str = "SAME") -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
@@ -134,13 +179,19 @@ def head_forward(params: Params, x: jnp.ndarray, cfg: HeadConfig,
     ``params['bn_state']`` (running mean/var per deconv stage).
     ``axis_name``: see :func:`batch_norm` (global BN stats under shard_map).
     ``deconv_impl``: 'phase' (default; sub-pixel decomposition, 4x fewer
-    MACs, see :func:`conv_transpose_s2_phase`) or 'dilated' (the direct
-    lhs-dilated lowering).  Equal to float-reorder noise (~4e-7 rel).
+    MACs, the SERVING lowering — see :func:`conv_transpose_s2_phase`),
+    'dilated' (direct lhs-dilated lowering, the TRAINING default —
+    models/vitpose.py::TRAIN_DECONV_IMPL) or 'packed' (3x3-packed
+    phases — a measured null kept for the record, see
+    :func:`conv_transpose_s2_packed`).  All equal to float-reorder
+    noise (~4e-7 rel).
     """
     new_bn = []
     for i, k in enumerate(cfg.deconv_kernels):
         if deconv_impl == "phase" and k == 4:
             x = conv_transpose_s2_phase(x, params["deconv"][i]["w"])
+        elif deconv_impl == "packed" and k == 4:
+            x = conv_transpose_s2_packed(x, params["deconv"][i]["w"])
         else:
             x = conv_transpose_s2(x, params["deconv"][i]["w"], k)
         y, st = batch_norm(x, {**params["deconv"][i]["bn"],

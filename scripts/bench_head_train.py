@@ -11,8 +11,11 @@ in TRAINING mode (the phase decomposition was only A/B'd for serving):
   * bn_frozen   full, but BN in inference mode (affine fold): isolates
                 the batch-statistics reductions + their backward
   * fwd_only    forward with train-mode BN, no backward
-  * dilated     full, with the lhs-dilated convT lowering (phase is the
-                default since r3)
+  * dilated     full, with the lhs-dilated convT lowering (the r4 train
+                default)
+  * packed      full, with the 3x3-packed phase lowering (r5: 9/4 the
+                minimal MACs vs 4x for dilated, scatter-free VJP —
+                models/head.py::conv_transpose_s2_packed)
 
 All interleaved in one process (chained dispatch + single scalar fetch).
 Usage: python scripts/bench_head_train.py [--size b] [--batch 64]
@@ -90,6 +93,7 @@ def main():
         "bn_frozen": full(train=False),
         "fwd_only": fwd_only,
         "dilated": full(impl="dilated"),
+        "packed": full(impl="packed"),
     }
 
     def time_chain(fn, n, reps):

@@ -1,5 +1,5 @@
-"""Sub-pixel (phase-decomposed) deconv equivalence: conv_transpose_s2_phase
-must reproduce the lhs-dilated lowering to float-reorder noise, value and
+"""Alternative deconv lowerings (sub-pixel 'phase' and 3x3-'packed') must
+reproduce the lhs-dilated lowering to float-reorder noise, value and
 gradient, at every geometry the model zoo uses (and odd shapes)."""
 import jax
 import jax.numpy as jnp
@@ -7,29 +7,35 @@ import numpy as np
 import pytest
 
 from easy_vitpose_tpu.models.head import (conv_transpose_s2,
+                                          conv_transpose_s2_packed,
                                           conv_transpose_s2_phase,
                                           head_forward, init_head_params)
 from easy_vitpose_tpu.configs import HeadConfig
 
+ALT_IMPLS = {"phase": conv_transpose_s2_phase,
+             "packed": conv_transpose_s2_packed}
 
+
+@pytest.mark.parametrize("impl", sorted(ALT_IMPLS))
 @pytest.mark.parametrize("B,H,W,Cin,Cout", [
     (2, 16, 12, 32, 16),   # stage-1 geometry (scaled channels)
     (2, 32, 24, 16, 16),   # stage-2 geometry
     (1, 5, 7, 8, 4),       # odd spatial dims
     (3, 1, 1, 3, 5),       # degenerate 1x1 input
 ])
-def test_phase_matches_dilated(B, H, W, Cin, Cout):
+def test_alt_impl_matches_dilated(impl, B, H, W, Cin, Cout):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(4, 4, Cin, Cout)).astype(np.float32))
     a = conv_transpose_s2(x, w, 4)
-    b = conv_transpose_s2_phase(x, w)
+    b = ALT_IMPLS[impl](x, w)
     assert a.shape == b.shape == (B, 2 * H, 2 * W, Cout)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-6, atol=2e-5)
 
 
-def test_phase_gradients_match_dilated():
+@pytest.mark.parametrize("impl", sorted(ALT_IMPLS))
+def test_alt_impl_gradients_match_dilated(impl):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, 8, 6, 12)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(4, 4, 12, 10)).astype(np.float32))
@@ -40,7 +46,7 @@ def test_phase_gradients_match_dilated():
         return jax.grad(f, argnums=(0, 1))(w, x)
 
     ga = loss(lambda x, w: conv_transpose_s2(x, w, 4))
-    gb = loss(lambda x, w: conv_transpose_s2_phase(x, w))
+    gb = loss(lambda x, w: ALT_IMPLS[impl](x, w))
     for a, b in zip(ga, gb):
         # same sums in a different accumulation order: tolerance scales
         # with the gradient's magnitude, not element-wise (near-zero
@@ -49,7 +55,8 @@ def test_phase_gradients_match_dilated():
         assert np.abs(a - b).max() <= 1e-5 * max(np.abs(a).max(), 1.0)
 
 
-def test_head_forward_impl_equivalence():
+@pytest.mark.parametrize("impl", sorted(ALT_IMPLS))
+def test_head_forward_impl_equivalence(impl):
     """Whole head (2x deconv + BN + ReLU + 1x1), train and eval modes."""
     cfg = HeadConfig(in_channels=24, num_keypoints=17,
                      deconv_filters=(16, 16))
@@ -63,7 +70,7 @@ def test_head_forward_impl_equivalence():
         ya, bna = head_forward(params, x, cfg, train=train,
                                deconv_impl="dilated")
         yb, bnb = head_forward(params, x, cfg, train=train,
-                               deconv_impl="phase")
+                               deconv_impl=impl)
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                    rtol=1e-5, atol=1e-5)
         for sa, sb in zip(bna, bnb):
