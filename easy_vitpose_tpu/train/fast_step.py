@@ -24,10 +24,21 @@ Numerics are IDENTICAL to ``make_train_step(block_impl='pallas_train')``
 by construction (same kernels, same bf16 cast points, same drop-path
 draws, same loss dataflow); pinned in tests/test_fast_step.py.
 
+MEASURED RESULT (r5, on-chip interleaved `bench_train.py --fused
+--ab-inbwd`, ViT-B/64): **0.99x — a null**.  71.92 ms vs 71.17 for the
+custom-VJP step with the same fused Adam.  The trailing norm read the
+design removes was ALREADY hidden by XLA's scheduler (it overlaps the
+tail of the backward), and the per-layer sum-of-squares this step adds
+inside the reverse scan costs about what the trailing read did.  Kept
+in-tree, parity-pinned, as the documented record (repo convention for
+nulls) and as the only step whose gradients are produced outside
+``jax.grad`` — useful scaffolding if a future backward wants fusions
+``custom_vjp`` cannot express.  The shipping step remains
+train/step.py::make_train_step.
+
 Scope (asserted): AMP bf16, fused Pallas blocks, patch embedding (no
 hybrid stem), grad_accum=1, optimizer exposing ``fused_apply`` with a
-precomputed-norm argument (train/fused_opt.py).  Everything else should
-keep using train/step.py.
+precomputed-norm argument (train/fused_opt.py).
 """
 from __future__ import annotations
 
