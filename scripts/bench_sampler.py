@@ -6,6 +6,13 @@ fused-block backbone so the sampler delta is visible against the round-2
 baseline (21.9 ms/frame).
 
 Usage: python scripts/bench_sampler.py [--slots 64] [--reps 5]
+       [--dtype bf16|int8]
+
+--dtype int8 reruns the e2e lane at the round-4+ shipping config
+(quantized backbone, pallas_q8 blocks): the r2 e2e null for the pallas
+sampler was measured against a ~14 ms bf16 backbone; at int8 the
+backbone is ~8.5 ms, so there is less compute to overlap the sampler
+with and the verdict could flip (VERDICT r4 item 8's "one new idea").
 """
 import argparse
 import json
@@ -23,6 +30,7 @@ def main():
     ap.add_argument("--slots", type=int, default=64)
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -83,8 +91,14 @@ def main():
 
     # e2e pose step: matmul vs pallas sampler, fused block backbone
     cfg = get_model_config("coco", "b")
-    params = cast_params(init_vitpose_params(jax.random.PRNGKey(0), cfg),
-                         jnp.bfloat16)
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    if args.dtype == "int8":
+        from easy_vitpose_tpu.models.quant import quantize_vit_params
+        params = quantize_vit_params(params, jnp.bfloat16)
+        e2e_block = "pallas_q8"
+    else:
+        params = cast_params(params, jnp.bfloat16)
+        e2e_block = "pallas"
 
     def pose_chain(n, sampler):
         b = boxes
@@ -92,7 +106,7 @@ def main():
         for _ in range(n):
             out = pose_step_jit(params, frame, b, mask, cfg,
                                 compute_dtype=jnp.bfloat16, sampler=sampler,
-                                block_impl="pallas")
+                                block_impl=e2e_block)
             b = boxes + 0.0 * out[0, 0, 0]
         return out
 
@@ -107,6 +121,7 @@ def main():
             print(f"rep {rep} e2e {k:7s}: {dt:6.2f} ms/frame", flush=True)
 
     result = {
+        "dtype": args.dtype,
         "standalone_ms": {k: round(float(np.median(v)), 2)
                           for k, v in times.items()},
         "e2e_ms": {k: round(float(np.median(v)), 2) for k, v in e2e.items()},
