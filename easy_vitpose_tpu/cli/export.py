@@ -1,15 +1,19 @@
-"""AOT export CLI — the TPU-native replacement for the reference's ONNX /
-TensorRT export path (reference export.py:30-97).
+"""Export CLI — both export paths of the reference's export.py:30-97.
 
-Instead of a foreign-runtime artifact, the deployable unit here is:
-  * a native .npz weight file (convert CLI), plus
-  * an ahead-of-time compiled XLA executable for a fixed serving shape,
+  * ``--format aot`` (default): the TPU-native deployable — an
+    ahead-of-time compiled XLA executable for a fixed serving shape,
     produced with jax.jit(...).lower(...).compile() and serialized via
-    jax.export when available.
+    jax.export (replaces the reference's TensorRT engine).
+  * ``--format onnx``: a real ``.onnx`` artifact with a dynamic batch
+    axis (the reference's torch.onnx.export twin, reference
+    export.py:50-60), written by the in-repo dependency-free serializer
+    (export/onnx_vitpose.py) for non-torch/non-JAX runtime consumers.
 
 Usage:
   python -m easy_vitpose_tpu.cli.export --model vitpose-b-coco.npz \
       --model-name b --batch 64 --out vitpose-b-coco.aot
+  python -m easy_vitpose_tpu.cli.export --model vitpose-b-coco.npz \
+      --model-name b --format onnx --out vitpose-b-coco.onnx
 """
 from __future__ import annotations
 
@@ -27,7 +31,11 @@ def main(argv=None):
                    help="crop batch size to specialize for")
     p.add_argument("--dtype", default="bf16",
                    choices=["bf16", "fp32", "int8"])
-    p.add_argument("--out", required=True, help="output .aot path")
+    p.add_argument("--format", default="aot", choices=["aot", "onnx"],
+                   help="aot: serialized XLA executable (default); "
+                        "onnx: .onnx with a dynamic batch axis "
+                        "(f32, reference export.py:50-60 twin)")
+    p.add_argument("--out", required=True, help="output artifact path")
     args = p.parse_args(argv)
 
     import jax
@@ -43,6 +51,16 @@ def main(argv=None):
     else:
         from ..utils.checkpoint import load_params
         params = load_params(args.model)
+
+    if args.format == "onnx":
+        from ..export.onnx_vitpose import vitpose_to_onnx
+        blob = vitpose_to_onnx(params, cfg)
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        print(f"wrote {args.out} ({len(blob)} bytes, onnx opset 17, "
+              f"dynamic batch)")
+        return
+
     quant = args.dtype == "int8"
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     params = jax.tree.map(jnp.asarray, params)
