@@ -27,16 +27,32 @@ def main(argv=None):
     p.add_argument("--model", required=True, help=".npz or .pth checkpoint")
     p.add_argument("--model-name", required=True, choices=["s", "b", "l", "h"])
     p.add_argument("--dataset", default=None)
-    p.add_argument("--batch", type=int, default=64,
-                   help="crop batch size to specialize for")
-    p.add_argument("--dtype", default="bf16",
-                   choices=["bf16", "fp32", "int8"])
+    p.add_argument("--batch", type=int, default=None,
+                   help="crop batch size to specialize for (aot only; "
+                        "default 64 — onnx exports a dynamic batch axis)")
+    p.add_argument("--dtype", default=None,
+                   choices=["bf16", "fp32", "int8"],
+                   help="aot artifact dtype (default bf16; onnx is always "
+                        "f32 like the reference artifact)")
     p.add_argument("--format", default="aot", choices=["aot", "onnx"],
                    help="aot: serialized XLA executable (default); "
                         "onnx: .onnx with a dynamic batch axis "
                         "(f32, reference export.py:50-60 twin)")
     p.add_argument("--out", required=True, help="output artifact path")
     args = p.parse_args(argv)
+    if args.format == "onnx":
+        # don't silently write an f32 graph when the user asked for
+        # int8/bf16 or a fixed batch — the onnx artifact is always f32
+        # with a dynamic batch axis, like the reference's.
+        if args.dtype not in (None, "fp32"):
+            p.error(f"--format onnx always exports f32 (got --dtype "
+                    f"{args.dtype}); ONNX quantization is not supported")
+        if args.batch is not None:
+            p.error("--format onnx exports a dynamic batch axis; "
+                    "--batch only applies to --format aot")
+    else:
+        args.batch = 64 if args.batch is None else args.batch
+        args.dtype = args.dtype or "bf16"
 
     import jax
     import jax.numpy as jnp

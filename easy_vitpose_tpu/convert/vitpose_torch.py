@@ -183,6 +183,32 @@ def _stack_blocks(blocks):
     return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
 
+def patch_weight_to_torch(w, patch_size: int, in_chans: int,
+                          embed_dim: int) -> np.ndarray:
+    """Pytree flat patch-embed weight (P*P*C, D) -> torch OIHW (D, C, P, P).
+
+    Single source of truth for the layout inversion — used by both the
+    state-dict back-export below and the ONNX graph builder
+    (export/onnx_vitpose.py), so a pytree layout change has one site."""
+    P, C, D = patch_size, in_chans, embed_dim
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).reshape(P, P, C, D).transpose(3, 2, 0, 1))
+
+
+def deconv_weight_to_torch(w) -> np.ndarray:
+    """Pytree pre-flipped lax deconv weight (kh, kw, Cin, Cout) -> torch
+    IOHW (Cin, Cout, kh, kw) with the spatial flip undone
+    (models/head.py:32-46 documents the pre-flip)."""
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])
+
+
+def conv_weight_to_torch(w) -> np.ndarray:
+    """Pytree HWIO conv weight -> torch OIHW."""
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).transpose(3, 2, 0, 1))
+
+
 def load_torch_checkpoint(path: str, cfg: ModelConfig, dtype=np.float32,
                           strict: bool = True):
     """Load a reference .pth checkpoint into a params pytree (requires torch).
@@ -214,8 +240,8 @@ def export_vitpose_state_dict(params: Mapping[str, Any],
     sd: Dict[str, np.ndarray] = {}
 
     # --- backbone ---
-    sd["backbone.patch_embed.proj.weight"] = np.ascontiguousarray(
-        f32(bbp["patch_w"]).reshape(P, P, C, D).transpose(3, 2, 0, 1))
+    sd["backbone.patch_embed.proj.weight"] = patch_weight_to_torch(
+        bbp["patch_w"], P, C, D)
     sd["backbone.patch_embed.proj.bias"] = f32(bbp["patch_b"])
     sd["backbone.pos_embed"] = f32(bbp["pos_embed"])
 
@@ -243,9 +269,7 @@ def export_vitpose_state_dict(params: Mapping[str, Any],
     # --- head (Sequential [deconv, bn, relu] * n -> indices 3i / 3i+1) ---
     for i, (dc, bn_state) in enumerate(zip(head["deconv"], head["bn_state"])):
         base = f"keypoint_head.deconv_layers.{3 * i}"
-        # invert: torch (Cin,Cout,kh,kw) -> flip -> (kh,kw,Cin,Cout)
-        sd[base + ".weight"] = np.ascontiguousarray(
-            f32(dc["w"]).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])
+        sd[base + ".weight"] = deconv_weight_to_torch(dc["w"])
         bn = f"keypoint_head.deconv_layers.{3 * i + 1}"
         sd[bn + ".weight"] = f32(dc["bn"]["scale"])
         sd[bn + ".bias"] = f32(dc["bn"]["bias"])
@@ -253,8 +277,8 @@ def export_vitpose_state_dict(params: Mapping[str, Any],
         sd[bn + ".running_var"] = f32(bn_state["var"])
         sd[bn + ".num_batches_tracked"] = np.asarray(0, np.int64)
 
-    sd["keypoint_head.final_layer.weight"] = np.ascontiguousarray(
-        f32(head["final_w"]).transpose(3, 2, 0, 1))
+    sd["keypoint_head.final_layer.weight"] = conv_weight_to_torch(
+        head["final_w"])
     sd["keypoint_head.final_layer.bias"] = f32(head["final_b"])
     return sd
 

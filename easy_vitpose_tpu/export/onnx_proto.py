@@ -333,7 +333,10 @@ def _parse_attr(data: bytes) -> Tuple[str, Any]:
         elif field == 5:
             val = _parse_tensor(v)[1]
         elif field == 7:
-            floats.append(float(np.frombuffer(v, "<f4")[0]))
+            # repeated float arrives packed (wire 2: one length-delimited
+            # blob of fixed32s — how torch/onnx emit it) or unpacked
+            # (wire 5: one fixed32 per field occurrence — how we emit it)
+            floats += [float(f) for f in np.frombuffer(v, "<f4")]
         elif field == 8:
             ints += [_signed(x) for x in _unpack_varints(v)]
         elif field == 20:

@@ -61,8 +61,36 @@ def _conv_transpose2d(x: np.ndarray, w: np.ndarray, b, strides,
                    (full[0], full[1], full[2], full[3]))
 
 
+# Attributes each op is allowed to carry.  Anything outside the set is a
+# hard error: silently defaulting an unhandled attribute (group, dilations,
+# output_padding, auto_pad, ...) would let a builder bug pass validation
+# while onnxruntime honors the attribute and computes something else.
+_ALLOWED_ATTRS: Dict[str, frozenset] = {
+    "Conv": frozenset({"strides", "pads", "kernel_shape"}),
+    "ConvTranspose": frozenset({"strides", "pads", "kernel_shape"}),
+    "BatchNormalization": frozenset({"epsilon"}),
+    "Relu": frozenset(),
+    "LayerNormalization": frozenset({"axis", "epsilon"}),
+    "MatMul": frozenset(),
+    "Add": frozenset(),
+    "Sub": frozenset(),
+    "Mul": frozenset(),
+    "Div": frozenset(),
+    "Erf": frozenset(),
+    "Split": frozenset({"axis", "split"}),
+    "Reshape": frozenset({"allowzero"}),
+    "Transpose": frozenset({"perm"}),
+    "Softmax": frozenset({"axis"}),
+}
+
+
 def _run_node(n: Node, env: Dict[str, np.ndarray]) -> None:
     op, a = n.op_type, n.attrs
+    extra = set(a) - _ALLOWED_ATTRS.get(op, frozenset())
+    if extra:
+        raise NotImplementedError(
+            f"op {op} carries unhandled attribute(s) {sorted(extra)} — "
+            f"the interpreter would silently ignore them")
     x = [env[i] for i in n.inputs if i]
 
     if op == "Conv":
@@ -81,11 +109,13 @@ def _run_node(n: Node, env: Dict[str, np.ndarray]) -> None:
     elif op == "Relu":
         y = np.maximum(x[0], 0)
     elif op == "LayerNormalization":
+        # spec: normalize over ALL axes from 'axis' to the end, not just one
         axis = a.get("axis", -1)
         eps = a.get("epsilon", 1e-5)
         X = x[0].astype(np.float32)
-        mean = X.mean(axis=axis, keepdims=True)
-        var = ((X - mean) ** 2).mean(axis=axis, keepdims=True)
+        axes = tuple(range(axis % X.ndim, X.ndim))
+        mean = X.mean(axis=axes, keepdims=True)
+        var = ((X - mean) ** 2).mean(axis=axes, keepdims=True)
         y = (X - mean) / np.sqrt(var + eps) * x[1] + x[2]
     elif op == "MatMul":
         y = np.matmul(x[0], x[1])
@@ -102,7 +132,7 @@ def _run_node(n: Node, env: Dict[str, np.ndarray]) -> None:
     elif op == "Split":
         axis = a.get("axis", 0)
         k = len(n.outputs)
-        sizes = a.get("split") or ([x[1].tolist()] if len(x) > 1 else None)
+        sizes = a.get("split") or (x[1].tolist() if len(x) > 1 else None)
         if sizes:
             splits = np.cumsum(sizes[:-1])
         else:

@@ -29,6 +29,9 @@ from typing import Any, Dict, List, Mapping
 import numpy as np
 
 from ..configs import ModelConfig
+from ..convert.vitpose_torch import (conv_weight_to_torch,
+                                     deconv_weight_to_torch,
+                                     patch_weight_to_torch)
 from . import onnx_proto as P
 
 
@@ -76,8 +79,8 @@ def vitpose_to_onnx(params: Mapping[str, Any], cfg: ModelConfig,
 
     # --- patch embedding: Conv k16 s16 pads=2 (the reference padding quirk,
     # reference vit.py:222), then (B, D, Ph, Pw) -> (B, N, D) tokens ---
-    w = _f32(bbp["patch_w"]).reshape(Cp, Cp, bb.in_chans, D)
-    add_init("patch.w", np.ascontiguousarray(w.transpose(3, 2, 0, 1)))
+    add_init("patch.w", patch_weight_to_torch(bbp["patch_w"], Cp,
+                                              bb.in_chans, D))
     add_init("patch.b", _f32(bbp["patch_b"]))
     add("Conv", ["input", "patch.w", "patch.b"], ["patch.out"],
         strides=[Cp, Cp], pads=[pad, pad, pad, pad],
@@ -178,8 +181,7 @@ def vitpose_to_onnx(params: Mapping[str, Any], cfg: ModelConfig,
     # IOHW layout, so undo the flip (convert/vitpose_torch.py:246-248).
     x = "feat"
     for i, (dc, bn) in enumerate(zip(head["deconv"], head["bn_state"])):
-        w = _f32(dc["w"]).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
-        add_init(f"dc{i}.w", np.ascontiguousarray(w))
+        add_init(f"dc{i}.w", deconv_weight_to_torch(dc["w"]))
         add("ConvTranspose", [x, f"dc{i}.w"], [f"dc{i}.out"],
             strides=[2, 2], pads=[1, 1, 1, 1], kernel_shape=[4, 4])
         add_init(f"bn{i}.s", _f32(dc["bn"]["scale"]))
@@ -192,19 +194,19 @@ def vitpose_to_onnx(params: Mapping[str, Any], cfg: ModelConfig,
         add("Relu", [f"bn{i}.out"], [f"relu{i}"])
         x = f"relu{i}"
     kf = hd.final_conv_kernel
-    add_init("final.w", np.ascontiguousarray(
-        _f32(head["final_w"]).transpose(3, 2, 0, 1)))
+    add_init("final.w", conv_weight_to_torch(head["final_w"]))
     add_init("final.b", _f32(head["final_b"]))
     fpad = kf // 2
     add("Conv", [x, "final.w", "final.b"], ["output"],
         strides=[1, 1], pads=[fpad] * 4, kernel_shape=[kf, kf])
 
     H, W = bb.img_size
+    up = 2 ** len(hd.deconv_kernels)    # each k4 s2 stage doubles H, W
     g = P.graph(
         nodes, f"vitpose_{cfg.name}_{cfg.dataset}",
         inputs=[P.value_info("input", P.FLOAT, [batch_dim, bb.in_chans, H, W])],
         outputs=[P.value_info("output", P.FLOAT,
-                              [batch_dim, K, 4 * Ph, 4 * Pw])],
+                              [batch_dim, K, up * Ph, up * Pw])],
         initializers=init,
         doc_string=("ViTPose (easy_vitpose_tpu) — NCHW normalized crops -> "
                     "K heatmaps; parity graph of models/vitpose.py"),

@@ -120,6 +120,92 @@ def test_unsupported_configs_raise():
         vitpose_to_onnx({}, up_cfg)
 
 
+def test_declared_output_shape_follows_deconv_count():
+    """The ValueInfo output dims must track 2**n_deconv, not hardcode 4x."""
+    cfg1 = ModelConfig(
+        name="t", dataset="coco", backbone=CFG.backbone,
+        head=HeadConfig(in_channels=64, num_keypoints=5,
+                        deconv_filters=(16,), deconv_kernels=(4,)))
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg1)
+    m = P.parse_model(vitpose_to_onnx(params, cfg1))
+    Ph, Pw = cfg1.backbone.patch_shape
+    assert m.graph.outputs[0][2] == ["batch_size", 5, 2 * Ph, 2 * Pw]
+    # and the graph actually produces that shape
+    x = np.zeros((1, 3, 256, 192), np.float32)
+    (y,) = run_model(vitpose_to_onnx(params, cfg1), {"input": x})
+    assert y.shape == (1, 5, 2 * Ph, 2 * Pw)
+
+
+def test_interpreter_split_sizes_input():
+    """Split with an explicit sizes *input* tensor (opset 13+ form)."""
+    g = P.graph(
+        [P.node("Split", ["x", "sizes"], ["a", "b"], axis=1)],
+        "g", inputs=[P.value_info("x", P.FLOAT, [2, 5])],
+        outputs=[P.value_info("a", P.FLOAT, [2, 2]),
+                 P.value_info("b", P.FLOAT, [2, 3])],
+        initializers=[P.tensor("sizes", np.asarray([2, 3], np.int64))])
+    x = np.arange(10, dtype=np.float32).reshape(2, 5)
+    a, b = run_model(P.model(g), {"x": x})
+    np.testing.assert_array_equal(a, x[:, :2])
+    np.testing.assert_array_equal(b, x[:, 2:])
+
+
+def test_interpreter_layernorm_trailing_axes():
+    """LayerNormalization normalizes over axis..end per the spec."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    s = np.ones((3, 4), np.float32)
+    b = np.zeros((3, 4), np.float32)
+    g = P.graph([P.node("LayerNormalization", ["x", "s", "b"], ["y"],
+                        axis=1, epsilon=1e-5)],
+                "g", inputs=[P.value_info("x", P.FLOAT, [2, 3, 4])],
+                outputs=[P.value_info("y", P.FLOAT, [2, 3, 4])],
+                initializers=[P.tensor("s", s), P.tensor("b", b)])
+    (y,) = run_model(P.model(g), {"x": x})
+    mean = x.reshape(2, -1).mean(1).reshape(2, 1, 1)
+    var = x.reshape(2, -1).var(1).reshape(2, 1, 1)
+    np.testing.assert_allclose(y, (x - mean) / np.sqrt(var + 1e-5),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_interpreter_rejects_unhandled_attrs():
+    """A Conv carrying dilations must error, not silently compute undilated."""
+    w = np.zeros((1, 1, 3, 3), np.float32)
+    g = P.graph([P.node("Conv", ["x", "w"], ["y"], strides=[1, 1],
+                        pads=[1, 1, 1, 1], dilations=[2, 2])],
+                "g", inputs=[P.value_info("x", P.FLOAT, [1, 1, 8, 8])],
+                outputs=[P.value_info("y", P.FLOAT, [1, 1, 8, 8])],
+                initializers=[P.tensor("w", w)])
+    with pytest.raises(NotImplementedError, match="dilations"):
+        run_model(P.model(g), {"x": np.zeros((1, 1, 8, 8), np.float32)})
+
+
+def test_packed_repeated_floats_roundtrip():
+    """A packed repeated-floats attribute (how torch/onnx emit it) parses
+    whole, not first-element-only."""
+    vals = [0.5, 1.0, 2.0]
+    body = P._f_str(1, "fs")
+    body += P._f_bytes(7, np.asarray(vals, np.float32).tobytes())  # packed
+    body += P._f_varint(20, P.A_FLOATS)
+    n = P._parse_node(P._f_str(4, "X") + P._f_bytes(5, body))
+    assert n.attrs["fs"] == vals
+    # and our own unpacked encoding still round-trips
+    n2 = P._parse_node(P.node("X", [], [], fs=vals))
+    assert n2.attrs["fs"] == vals
+
+
+def test_cli_onnx_rejects_dtype_and_batch(tmp_path):
+    from easy_vitpose_tpu.cli import export as export_cli
+    with pytest.raises(SystemExit):
+        export_cli.main(["--model", "x.npz", "--model-name", "b",
+                         "--format", "onnx", "--dtype", "int8",
+                         "--out", str(tmp_path / "o.onnx")])
+    with pytest.raises(SystemExit):
+        export_cli.main(["--model", "x.npz", "--model-name", "b",
+                         "--format", "onnx", "--batch", "8",
+                         "--out", str(tmp_path / "o.onnx")])
+
+
 def test_cli_format_onnx(tmp_path, monkeypatch):
     from easy_vitpose_tpu.cli import export as export_cli
     from easy_vitpose_tpu.utils.checkpoint import save_params
