@@ -45,6 +45,33 @@ from ..detect.yolo import detect_batch_core, detect_frame_core
 from .pose_step import pose_step
 
 
+def _slot_rows(packed, slots: int, max_det: int):
+    """First ``slots`` packed detection rows along the last-but-one axis,
+    zero-padded when ``slots > max_det`` (the grow-only slot bucket rounds
+    up to powers of two, so it can legally exceed the detector's max_det;
+    zero rows fail the validity gate below, so padded slots stay masked
+    instead of silently truncating — or crashing — the pose batch)."""
+    if slots <= max_det:
+        return packed[..., :slots, :]
+    pad = [(0, 0)] * (packed.ndim - 2) + [(0, slots - max_det), (0, 0)]
+    return jnp.pad(packed, pad)
+
+
+def _slot_mask(rows, W, H, gate: float):
+    """Clip + confidence gate + sanitize for pose slots — the host path's
+    unpack clip (detect/yolo.py::YoloDetector.unpack) + sanitize_detections
+    (track/sort.py), fused on device.  One home for the single- and
+    multi-stream fused programs.  Returns (boxes, mask)."""
+    wh = jnp.asarray([W, H, W, H], jnp.float32)
+    boxes = jnp.clip(rows[:, :4], 0.0, wh)
+    mask = ((rows[:, 6] > 0)
+            & (rows[:, 4] > gate)
+            & jnp.isfinite(boxes).all(axis=1)
+            & (boxes[:, 2] > boxes[:, 0])
+            & (boxes[:, 3] > boxes[:, 1]))
+    return boxes, mask
+
+
 @functools.partial(jax.jit, static_argnames=(
     "geom", "spec", "imgsz", "classes", "conf_nms", "iou_t", "max_det",
     "det_dtype", "cfg", "slots", "gate", "compute_dtype", "modulate_kernel",
@@ -65,14 +92,8 @@ def detect_pose_jit(yolo_params, pose_params, frame,
     packed = detect_frame_core(yolo_params, frame, geom, spec, imgsz,
                                classes, conf_nms, iou_t, max_det, det_dtype)
     H, W = frame.shape[0], frame.shape[1]
-    rows = packed[:slots]
-    wh = jnp.asarray([W, H, W, H], jnp.float32)
-    boxes = jnp.clip(rows[:, :4], 0.0, wh)      # YoloDetector.unpack clip
-    mask = ((rows[:, 6] > 0)
-            & (rows[:, 4] > gate)
-            & jnp.isfinite(boxes).all(axis=1)   # sanitize_detections
-            & (boxes[:, 2] > boxes[:, 0])
-            & (boxes[:, 3] > boxes[:, 1]))
+    rows = _slot_rows(packed, slots, max_det)
+    boxes, mask = _slot_mask(rows, W, H, gate)
     kpts = pose_step(pose_params, frame, boxes, mask, cfg,
                      compute_dtype=compute_dtype,
                      modulate_kernel=modulate_kernel,
@@ -107,14 +128,8 @@ def detect_pose_multi(yolo_params, pose_params, frames,
     packed = detect_batch_core(yolo_params, frames, geom, spec, classes,
                                conf_nms, iou_t, max_det, det_dtype)
     S, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
-    rows = packed[:, :slots].reshape(S * slots, 7)
-    wh = jnp.asarray([W, H, W, H], jnp.float32)
-    boxes = jnp.clip(rows[:, :4], 0.0, wh)      # unpack_batch clip
-    mask = ((rows[:, 6] > 0)
-            & (rows[:, 4] > gate)
-            & jnp.isfinite(boxes).all(axis=1)   # sanitize_detections
-            & (boxes[:, 2] > boxes[:, 0])
-            & (boxes[:, 3] > boxes[:, 1]))
+    rows = _slot_rows(packed, slots, max_det).reshape(S * slots, 7)
+    boxes, mask = _slot_mask(rows, W, H, gate)
     fidx = jnp.arange(S * slots, dtype=jnp.int32) // slots
     kpts = pose_step(pose_params, frames, boxes, mask, cfg,
                      compute_dtype=compute_dtype,

@@ -624,31 +624,11 @@ class VitInference:
         coast rows with no detection this frame).  The single-dispatch
         pipeline keys pre-computed pose slots with it; the plain paths
         ignore it."""
-        # drop degenerate/non-finite boxes (a well-formed detector never
-        # emits them, but the Kalman sqrt would NaN on x2<=x1)
-        from ..track.sort import sanitize_detections
-        res_pd, kept = sanitize_detections(res_pd, return_indices=True)
-
-        ids = None
-        if self.tracker is not None:
-            rows, det_idx = self.tracker.update(res_pd, det_indices=kept)
-            keep = np.isfinite(rows[:, :4]).all(1)
-            rows, det_idx = rows[keep], det_idx[keep]
-            ids = rows[:, 5].astype(int).tolist()
-        else:
-            rows, det_idx = res_pd, kept
-
-        # cap at max_people (or the pinned slot count), keeping the
-        # highest-scored boxes
-        cap = self.fixed_slots or self.max_people
-        if len(rows) > cap:
-            order = np.argsort(-rows[:, 4], kind="stable")[:cap]
-            rows, det_idx = rows[order], det_idx[order]
-            if ids is not None:
-                ids = [ids[i] for i in order]
-
-        if ids is None:
-            ids = list(range(len(rows)))
+        from ..track.sort import track_and_cap
+        rows, det_idx = track_and_cap(self.tracker, res_pd,
+                                      self.fixed_slots or self.max_people)
+        ids = (rows[:, 5].astype(int).tolist() if self.tracker is not None
+               else list(range(len(rows))))
         return rows, ids, rows[:, 4].tolist(), det_idx
 
     def _track_and_pose(self, img, frame_dev, res_pd, results

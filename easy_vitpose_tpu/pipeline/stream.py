@@ -318,7 +318,7 @@ class MultiStreamPose:
         detections beyond max_pp) ride one batched fallback pose dispatch on
         their tracker boxes — the rare path is the old path."""
         from ..detect.yolo import YoloDetector
-        from ..track.sort import sanitize_detections
+        from ..track.sort import track_and_cap
         H, W = frames_dev.shape[1:3]
         packed, kpts = jax.device_get(handles)
         dets = YoloDetector.unpack_batch(packed, (H, W))
@@ -330,10 +330,8 @@ class MultiStreamPose:
             r = dets[si]
             res_pd = (r[r[:, 4] > self._det_gate][:, :5] if len(r)
                       else np.empty((0, 5), np.float32))
-            res_pd, kept = sanitize_detections(res_pd, return_indices=True)
-            rows, det_idx = self.trackers[si].update(res_pd, det_indices=kept)
-            keep = np.isfinite(rows[:, :4]).all(1)
-            rows, det_idx = rows[keep][:self.max_pp], det_idx[keep][:self.max_pp]
+            rows, det_idx = track_and_cap(self.trackers[si], res_pd,
+                                          self.max_pp)
             for row, di in zip(rows, det_idx):
                 tid = int(row[5])
                 di = int(di)
@@ -360,9 +358,13 @@ class MultiStreamPose:
             mask[:nb] = True
             # fallback runs unsharded (single-chip program) even under a
             # mesh: coast rows are rare and arbitrary (stream, slot) pairs
-            # don't respect the per-stream block layout
-            frames_local = (jax.device_get(frames_dev) if self.mesh is not None
-                            else frames_dev)
+            # don't respect the per-stream block layout.  The frame stack
+            # moves device-to-device (ICI resharding, never through host
+            # memory — a host round-trip of the full stack per coast tick
+            # would stall the pipeline the fusion exists to hide)
+            frames_local = (jax.device_put(frames_dev,
+                                           self.mesh.devices.flat[0])
+                            if self.mesh is not None else frames_dev)
             out = np.asarray(_pose_multi_frame(
                 self.params, jnp.asarray(frames_local), jnp.asarray(boxes),
                 jnp.asarray(fidx), jnp.asarray(mask), self.cfg,
@@ -391,11 +393,9 @@ class MultiStreamPose:
         fidx = (np.arange(M, dtype=np.int32) // self.max_pp)
         book = []  # (slot, stream, track_id)
         for si in range(self.n):
-            from ..track.sort import sanitize_detections
-            tracked = self.trackers[si].update(
-                sanitize_detections(boxes_per_stream[si]))
-            tracked = tracked[np.isfinite(tracked[:, :4]).all(1)]
-            tracked = tracked[:self.max_pp]
+            from ..track.sort import track_and_cap
+            tracked, _ = track_and_cap(self.trackers[si],
+                                       boxes_per_stream[si], self.max_pp)
             for j, row in enumerate(tracked):
                 slot = si * self.max_pp + j
                 boxes[slot] = row[:4]

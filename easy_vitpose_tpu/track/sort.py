@@ -73,6 +73,34 @@ def sanitize_detections(dets, return_indices: bool = False):
     return (dets[ok], np.where(ok)[0]) if return_indices else dets[ok]
 
 
+def track_and_cap(tracker, dets, cap: int):
+    """The host tracking stage every pipeline shares: sanitize ->
+    tracker.update -> finite-filter -> highest-score cap.
+
+    Returns ``(rows, det_idx)``: up to ``cap`` tracker rows
+    ``[x1, y1, x2, y2, score, id]`` and each row's index into the input
+    ``dets`` (-1 for coast rows the tracker emitted without a detection
+    this frame — the single-dispatch pipelines key pre-computed pose
+    slots with this map).  ``tracker=None`` degrades to sanitize + cap
+    (rows keep the detector's 5 columns).
+
+    This is the ONE home for the sequence: VitInference._track_boxes and
+    MultiStreamPose's fused/plain ticks all call it, so the cap policy
+    cannot drift between pipelines (it once did — one path truncated in
+    tracker-row order while the others kept the highest-scored boxes)."""
+    dets, kept = sanitize_detections(dets, return_indices=True)
+    if tracker is None:
+        rows, det_idx = dets, kept
+    else:
+        rows, det_idx = tracker.update(dets, det_indices=kept)
+        keep = np.isfinite(rows[:, :4]).all(1)
+        rows, det_idx = rows[keep], det_idx[keep]
+    if len(rows) > cap:
+        order = np.argsort(-rows[:, 4], kind="stable")[:cap]
+        rows, det_idx = rows[order], det_idx[order]
+    return rows, det_idx
+
+
 class Sort:
     """Drop-in equivalent of the reference Sort class."""
 

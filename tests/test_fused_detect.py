@@ -102,6 +102,71 @@ def test_single_dispatch_skipped_frames_use_old_path(ckpt_npz, yolo_npz):  # noq
     assert all(isinstance(o, dict) for o in outs)
 
 
+def test_slot_rows_pad_beyond_max_det():
+    """slots > max_det (the grow-only power-of-two bucket can legally
+    exceed a small detector max_det): _slot_rows must zero-pad instead of
+    silently truncating the pose batch, and the padded rows must fail
+    _slot_mask's validity gate."""
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.pipeline.fused_detect import _slot_mask, _slot_rows
+
+    max_det, slots = 3, 8
+    packed = np.zeros((max_det, 7), np.float32)
+    packed[0] = [10, 20, 100, 120, 0.9, 0, 1]   # valid box
+    packed[1] = [5, 5, 50, 60, 0.2, 0, 1]       # below gate
+    packed[2] = [0, 0, 0, 0, 0, 0, 0]           # invalid slot
+
+    rows = _slot_rows(jnp.asarray(packed), slots, max_det)
+    assert rows.shape == (slots, 7)
+    np.testing.assert_array_equal(np.asarray(rows[:max_det]), packed)
+    np.testing.assert_array_equal(np.asarray(rows[max_det:]), 0.0)
+
+    boxes, mask = _slot_mask(rows, 320, 240, gate=0.35)
+    assert boxes.shape == (slots, 4)
+    np.testing.assert_array_equal(
+        np.asarray(mask), [True] + [False] * (slots - 1))
+
+    # batched twin (detect_pose_multi path): leading stream axis
+    rows_b = _slot_rows(jnp.asarray(packed)[None], slots, max_det)
+    assert rows_b.shape == (1, slots, 7)
+    np.testing.assert_array_equal(np.asarray(rows_b[0]), np.asarray(rows))
+
+    # no-pad path untouched
+    np.testing.assert_array_equal(
+        np.asarray(_slot_rows(jnp.asarray(packed), 2, max_det)), packed[:2])
+
+
+def test_track_and_cap_shared_stage():
+    """track_and_cap (track/sort.py) is the ONE host tracking stage every
+    pipeline shares: sanitize -> update -> finite-filter -> highest-score
+    cap; tracker=None degrades to sanitize + cap."""
+    from easy_vitpose_tpu.track.sort import Sort, track_and_cap
+
+    dets = np.array([
+        [10, 10, 50, 60, 0.9],
+        [60, 40, 40, 80, 0.8],     # degenerate (x2 < x1): sanitized away
+        [100, 100, 160, 180, 0.6],
+        [200, 50, 240, 90, 0.95],
+    ], np.float32)
+
+    # tracker-less: sanitize + cap keeps the highest-scored boxes, det_idx
+    # maps back into the ORIGINAL dets array
+    rows, det_idx = track_and_cap(None, dets, cap=2)
+    assert rows.shape == (2, 5)
+    np.testing.assert_array_equal(det_idx, [3, 0])
+    np.testing.assert_allclose(rows[:, 4], [0.95, 0.9])
+
+    # with a tracker: rows carry ids, det_idx aligns row-for-row
+    trk = Sort(max_age=3, min_hits=1, iou_threshold=0.3)
+    rows, det_idx = track_and_cap(trk, dets, cap=8)
+    assert rows.shape[1] == 6 and len(det_idx) == len(rows)
+    assert set(det_idx) <= {0, 2, 3}            # sanitized det never matches
+
+    # empty input stays well-formed
+    rows, det_idx = track_and_cap(None, np.empty((0, 5), np.float32), cap=4)
+    assert len(rows) == 0 and len(det_idx) == 0
+
+
 def test_single_dispatch_slot_highwater(ckpt_npz, yolo_npz):  # noqa: F811
     """Unpinned slot count follows the grow-only high-water bucket (same
     policy as the two-program path), NOT max_people: a 2-person scene must

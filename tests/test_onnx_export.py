@@ -104,6 +104,27 @@ def test_numeric_parity_vs_jax(blob, batch):
     assert err < 1e-4, f"onnx-vs-jax rel err {err}"
 
 
+@pytest.mark.slow
+def test_numeric_parity_vits_full():
+    """End-to-end parity at the REAL ViT-S config (12x384, 17 keypoints,
+    ~90 MB artifact) — the slow-lane twin of the toy-config test above,
+    matching the rel-err scale the CLI export run recorded (7.9e-7,
+    ROADMAP round-5 notes)."""
+    from easy_vitpose_tpu.configs import get_model_config
+    cfg = get_model_config("coco", "s")
+    params = init_vitpose_params(jax.random.PRNGKey(0), cfg)
+    blob = vitpose_to_onnx(params, cfg)
+
+    rng = np.random.default_rng(7)
+    x_nhwc = rng.standard_normal((2, 256, 192, 3)).astype(np.float32)
+    want = np.asarray(vitpose_forward(params, jnp.asarray(x_nhwc), cfg))
+    (got,) = run_model(blob, {"input": x_nhwc.transpose(0, 3, 1, 2)})
+
+    assert got.shape == want.shape == (2, 17, 64, 48)
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12)
+    assert err < 1e-5, f"onnx-vs-jax rel err {err} at ViT-S"
+
+
 def test_unsupported_configs_raise():
     stem_cfg = ModelConfig(
         name="t", dataset="coco",
