@@ -415,3 +415,29 @@ def test_moe_sharded_step_matches_single_device(plus_sd):
     np.testing.assert_array_equal(ewb[:, 0], ew0[:, 0])
     np.testing.assert_array_equal(ewb[:, 2], ew0[:, 2])
     assert np.abs(ewb[:, 1] - ew0[:, 1]).max() > 0
+
+
+def test_split_to_onnx_export_chain(plus_sd, crops):
+    """The reference's release workflow end to end: multi-dataset ViTPose+
+    checkpoint -> per-dataset split (model_split.py) -> ONNX artifact
+    (reference: model_split.py + export.py run back to back).  The
+    exported graph, executed by the independent numpy interpreter, must
+    match the split JAX forward."""
+    from easy_vitpose_tpu.export.onnx_ref import run_model
+    from easy_vitpose_tpu.export.onnx_vitpose import vitpose_to_onnx
+
+    task = "aic"
+    split = split_vitpose_plus(plus_sd)[task]
+    cfg = dataclasses.replace(
+        CFG, head=dataclasses.replace(CFG.head,
+                                      num_keypoints=TASK_K[task]))
+    params = convert_vitpose_state_dict(split, cfg)
+    want = np.asarray(vitpose_forward(params, crops, cfg))
+
+    blob = vitpose_to_onnx(params, cfg)
+    x = np.asarray(crops).transpose(0, 3, 1, 2)
+    (got,) = run_model(blob, {"input": x})
+
+    assert got.shape == want.shape == (2, TASK_K[task], 64, 48)
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12)
+    assert err < 1e-4, f"split->onnx chain rel err {err}"
