@@ -131,6 +131,12 @@ def run_one(args, input_path: str) -> None:
             "plain per-frame inference only; --pipelined and --batch route "
             "through their own dispatch schedules and would silently "
             "ignore it")
+    single_dispatch = args.single_dispatch
+    if single_dispatch is None and (args.batch or args.pipelined):
+        # the default-ON resolution (images / --single-pose) must not
+        # leak into modes with their own dispatch schedules, where the
+        # explicit flag is rejected above — force the two-program path
+        single_dispatch = False
 
     # One-Euro timestep from the clip's real frame rate
     smooth_params = ({"fps": float(meta["fps"])}
@@ -145,7 +151,7 @@ def run_one(args, input_path: str) -> None:
                          smooth=args.smooth, smooth_params=smooth_params,
                          fixed_slots=args.fixed_slots, device=args.device,
                          tracker=args.tracker,
-                         single_dispatch=args.single_dispatch)
+                         single_dispatch=single_dispatch)
     print(f">>> model loaded: {args.model} (dataset={model.dataset}, "
           f"dtype={args.dtype})")
 

@@ -590,6 +590,17 @@ def _mlp_saved(D: int) -> bool:
     return _os.environ.get("EVT_TRAIN_MLP") == "saved"
 
 
+def saved_flags(D: int):
+    """(save_qkv, save_m): which forward residuals the fused train
+    kernels save vs recompute at width D.  The ONE home for the policy —
+    _fused_train_fwd_impl and every external caller that must stay in
+    lockstep with it (train/fast_step.py packs residual dicts from these
+    flags) read it from here, so a threshold or env-flag change cannot
+    leave a copy behind."""
+    # the recompute wide flavor has no kernel that could consume saved m
+    return _attn_saved(D), _mlp_saved(D) and (D <= 768 or _wide_saved())
+
+
 def _tile_mlp_bwd(D: int) -> int:
     """Batch tile for the MLP-backward kernel only.  The r3 decompose
     sweep (PERF.md): larger tiles amortize the LN2/GELU vector work and
@@ -636,9 +647,7 @@ def _fused_train_fwd_impl(x, dp, p, cfg: BackboneConfig, interpret: bool):
     dp, _, _ = _pad(dp.reshape(B0, 1).astype(jnp.float32), G)
     ws = _weights_fwd(p)
     hidden = p["mlp"]["fc1_w"].shape[-1]
-    save_qkv = _attn_saved(D)
-    # the recompute wide flavor has no kernel that could consume saved m
-    save_m = _mlp_saved(D) and (D <= 768 or _wide_saved())
+    save_qkv, save_m = saved_flags(D)
     kern = functools.partial(_fwd_kernel, G=G, N=N, D=D,
                              num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
                              save_qkv=save_qkv, save_m=save_m)

@@ -317,20 +317,19 @@ class MultiStreamPose:
         rows emitted WITHOUT an in-slot detection this tick (coast rows, or
         detections beyond max_pp) ride one batched fallback pose dispatch on
         their tracker boxes — the rare path is the old path."""
-        from ..detect.yolo import YoloDetector
         from ..track.sort import track_and_cap
         H, W = frames_dev.shape[1:3]
         packed, kpts = jax.device_get(handles)
-        dets = YoloDetector.unpack_batch(packed, (H, W))
+        # _boxes_from_detect owns the host-side gate: the fused program's
+        # slot alignment requires it to exactly match the device gate, so
+        # there must be exactly one copy of the expression
+        gated = self._boxes_from_detect(packed, (H, W))
 
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(self.n)]
         fb_boxes: List[np.ndarray] = []
         fb_keys: List[tuple] = []  # (stream, track_id)
         for si in range(self.n):
-            r = dets[si]
-            res_pd = (r[r[:, 4] > self._det_gate][:, :5] if len(r)
-                      else np.empty((0, 5), np.float32))
-            rows, det_idx = track_and_cap(self.trackers[si], res_pd,
+            rows, det_idx = track_and_cap(self.trackers[si], gated[si],
                                           self.max_pp)
             for row, di in zip(rows, det_idx):
                 tid = int(row[5])

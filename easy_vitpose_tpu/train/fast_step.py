@@ -120,9 +120,7 @@ def make_train_step_inbwd(cfg: ModelConfig, tx, *,
 
         # ---- block stack forward (manual scan, saving residuals)
         blocks16 = _cast_tree(bb["blocks"], amp)
-        sq_flag, sm_flag = (fbt._attn_saved(D),
-                            fbt._mlp_saved(D)
-                            and (D <= 768 or fbt._wide_saved()))
+        sq_flag, sm_flag = fbt.saved_flags(D)
 
         def fwd_body(carry, xs):
             layer, mask = xs

@@ -229,3 +229,45 @@ def test_infer_cli_mode_conflicts_fail_before_model_load(tmp_path):
         main(base + ["--single-dispatch", "--batch", "4"])
     with pytest.raises(SystemExit, match="offline windowed"):
         main(base + ["--batch", "4", "--pipelined"])
+
+
+def test_infer_cli_single_dispatch_default_stays_out_of_scheduled_modes(
+        tmp_path, monkeypatch):
+    """--pipelined/--batch reject an EXPLICIT --single-dispatch (above);
+    the default-ON resolution (images / --single-pose) must not leak into
+    those modes either — the CLI forces the two-program path when the
+    flag was not given."""
+    from easy_vitpose_tpu.cli import infer as cli_infer
+
+    seen = {}
+
+    class _Capture(Exception):
+        pass
+
+    def fake_vitinference(*a, **kw):
+        seen.update(kw)
+        raise _Capture
+
+    monkeypatch.setattr(cli_infer, "VitInference", fake_vitinference)
+
+    # a real video file so mode resolution reaches the model construction
+    vp = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 5, (80, 60))
+    frm = np.random.default_rng(0).integers(0, 255, (60, 80, 3), np.uint8)
+    for _ in range(3):
+        w.write(frm)
+    w.release()
+
+    base = ["--input", vp, "--model", "unused.npz", "--model-name", "s",
+            "--single-pose"]
+    for extra in (["--pipelined"], ["--batch", "2"]):
+        seen.clear()
+        with pytest.raises((_Capture, AssertionError, SystemExit)):
+            cli_infer.main(base + extra)
+        assert seen.get("single_dispatch") is False, (extra, seen)
+
+    # plain mode keeps the default-resolution (None -> ctor decides)
+    seen.clear()
+    with pytest.raises((_Capture, AssertionError, SystemExit)):
+        cli_infer.main(base)
+    assert seen.get("single_dispatch") is None
