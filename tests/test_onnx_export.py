@@ -240,3 +240,43 @@ def test_cli_format_onnx(tmp_path, monkeypatch):
                      "--format", "onnx", "--out", str(out)])
     m = P.parse_model(out.read_bytes())
     assert m.opset == 17 and m.graph.outputs[0][0] == "output"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_numeric_parity_fuzzed_configs(seed):
+    """Config-fuzz the serializer: random depth/width/heads/K/deconv
+    filters (the axes real configs vary on).  A layout or attribute bug
+    that happens to cancel at the fixed toy shape shows up here as a
+    numeric mismatch against the JAX forward."""
+    rng = np.random.default_rng(100 + seed)
+    heads = int(rng.choice([2, 4]))
+    dim = heads * int(rng.choice([8, 16]))
+    cfg = ModelConfig(
+        name=f"fz{seed}", dataset="coco",
+        backbone=BackboneConfig(embed_dim=dim,
+                                depth=int(rng.integers(1, 4)),
+                                num_heads=heads),
+        head=HeadConfig(in_channels=dim,
+                        num_keypoints=int(rng.choice([1, 17, 133])),
+                        deconv_filters=tuple(
+                            int(f) for f in rng.choice([8, 16, 24],
+                                                       size=2)),
+                        deconv_kernels=(4, 4)),
+    )
+    params = init_vitpose_params(jax.random.PRNGKey(seed), cfg)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1000 + seed), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree.unflatten(treedef, leaves)
+    for st in params["head"]["bn_state"]:
+        st["var"] = jnp.abs(st["var"]) + 0.5
+
+    blob = vitpose_to_onnx(params, cfg)
+    x_nhwc = rng.standard_normal((1, 256, 192, 3)).astype(np.float32)
+    want = np.asarray(vitpose_forward(params, jnp.asarray(x_nhwc), cfg))
+    (got,) = run_model(blob, {"input": x_nhwc.transpose(0, 3, 1, 2)})
+
+    assert got.shape == want.shape
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12)
+    assert err < 1e-4, f"fuzzed cfg {cfg.name}: rel err {err}"
