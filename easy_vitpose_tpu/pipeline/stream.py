@@ -60,6 +60,11 @@ class MultiStreamPose:
                  mesh=None, smooth: bool = False,
                  smooth_params=None, tracker: str = "sort",
                  single_dispatch: bool = False):
+        # persist compiled programs across process restarts, exactly like
+        # VitInference: a serve restart reloads the (large) fused ViT-H
+        # multi-stream program instead of recompiling it
+        from ..utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.params = params
         self.cfg = cfg
         self.detector = detector
