@@ -1,0 +1,387 @@
+"""LIVE end-to-end pipeline parity vs the reference's own VitInference.
+
+Every op along the serving path already has a golden test (crop geometry,
+pad_image AR fix-up, resize half-pixel mapping, unbiased-UDP decode,
+un-crop), and the full-geometry model forward is pinned against the live
+torch oracle (test_model_parity_full).  What none of those cover is the
+COMPOSITION: this module drives the reference's actual ``inference.py``
+orchestration — cv2 crop/pad, torch forward, ``postprocess`` with
+unbiased+UDP decode, keypoint un-crop (reference
+easy_ViTPose/inference.py:221-281, :283-334) — against our pipeline on
+the same frames, with the same weights and the same injected detections,
+and demands the final ``{id: (K, 3)}`` dicts agree.
+
+Weights: a tiny model memorized on two synthetic scenes (the
+validate_e2e.py recipe, ~25 s on CPU) so heatmaps are peaked Gaussians —
+with random weights the reference's log-Taylor ("unbiased") refinement is
+chaotically sensitive on near-flat heatmaps (a near-singular local
+Hessian shoots the offset hundreds of px, differently per
+implementation).  The JAX-trained params reach torch through
+``export_vitpose_state_dict`` (convert/vitpose_torch.py), so this also
+exercises the deploy-back converter inside a real torch forward.
+
+Tolerances: positions 0.5 px, scores 0.05.  The residual difference is
+the documented sampler divergence — the reference resizes the uint8 crop
+with cv2 (fixed-point arithmetic, rounds each output pixel to uint8,
+~0.5/255 quantization) while our fused sampler interpolates in float
+(ops/preprocess.py:99-110); measured e2e effect on the memorized model
+is ~0.1 px / ~1e-2 score.
+
+The reference's heavy import-time deps that this path never executes
+(ultralytics YOLO ctor, filterpy Kalman, skimage, torchvision, ffmpeg)
+are stubbed; cv2 / torch / matplotlib are real.
+"""
+import importlib
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from easy_vitpose_tpu.configs import BackboneConfig, HeadConfig, ModelConfig
+
+REF_PKG = "/root/reference/easy_ViTPose"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_PKG), reason="reference checkout not available")
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+TINY = ModelConfig(
+    name="tiny", dataset="coco",
+    backbone=BackboneConfig(embed_dim=96, depth=2, num_heads=4),
+    head=HeadConfig(in_channels=96, num_keypoints=17,
+                    deconv_filters=(32, 32)))
+
+
+# ---------------------------------------------------------------- reference
+
+def _stub(name, **attrs):
+    mod = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    """Import /root/reference/easy_ViTPose under an alias package name so
+    its relative imports resolve without colliding with our import-compat
+    shim of the same name."""
+    _stub("ultralytics", YOLO=object)
+    _stub("torchvision")
+    _stub("torchvision.transforms")
+    _stub("ffmpeg")
+    sk = _stub("skimage")
+    sk.io = _stub("skimage.io")
+    fp = _stub("filterpy")
+    fp.kalman = _stub("filterpy.kalman", KalmanFilter=object)
+    name = "ref_easy_ViTPose"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_PKG, "__init__.py"),
+        submodule_search_locations=[REF_PKG])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules[name] = pkg
+    spec.loader.exec_module(pkg)
+    return pkg
+
+
+class FakeYolo:
+    """Duck-typed ultralytics YOLO returning canned detection rows
+    (x1, y1, x2, y2, conf, cls) — the exact surface inference.py:237-241
+    reads (``results.boxes.data`` + the 0.35 gate it applies itself)."""
+
+    def __init__(self, rows):
+        self.rows = np.asarray(rows, np.float32)
+        self.calls = 0
+
+    def __call__(self, img_bgr, verbose=False, imgsz=None, device=None,
+                 classes=None):
+        self.calls += 1
+        r = types.SimpleNamespace(
+            boxes=types.SimpleNamespace(data=torch.from_numpy(self.rows)))
+        return [r]
+
+
+def make_ref_vitinference(ref_pkg, torch_model, rows, dataset="coco",
+                          is_video=False, single_pose=False, yolo_step=1):
+    """Reference VitInference without checkpoint files: bypass __init__
+    (which asserts model/yolo paths exist and constructs ultralytics YOLO,
+    inference.py:84-174) and set the exact state it would have set for a
+    torch .pth model on CPU."""
+    inf_mod = sys.modules["ref_easy_ViTPose.inference"]
+    obj = inf_mod.VitInference.__new__(inf_mod.VitInference)
+    obj.device = "cpu"
+    obj.yolo = FakeYolo(rows)
+    obj.yolo_size = 320
+    obj.yolo_step = yolo_step
+    obj.is_video = is_video
+    obj.single_pose = single_pose
+    obj.reset()
+    obj.save_state = False
+    obj._img = None
+    obj._yolo_res = None
+    obj._tracker_res = None
+    obj._keypoints = None
+    obj.dataset = dataset
+    obj.yolo_classes = [0]
+    obj.target_size = inf_mod.data_cfg["image_size"]
+    obj._vit_pose = torch_model
+    obj._inference = obj._inference_torch
+    return obj
+
+
+def build_ref_tiny(ref_pkg, sd):
+    """Reference torch ViTPose at the tiny test geometry (backbone args per
+    reference configs/ViTPose_common.py:65-195), loaded with our exported
+    state dict."""
+    vm = importlib.import_module("ref_easy_ViTPose.vit_models.model")
+    cfg = dict(
+        backbone=dict(type="ViT", img_size=(256, 192), patch_size=16,
+                      embed_dim=96, depth=2, num_heads=4,
+                      ratio=1, use_checkpoint=False, mlp_ratio=4,
+                      qkv_bias=True, drop_path_rate=0.0),
+        keypoint_head=dict(type="TopdownHeatmapSimpleHead",
+                           in_channels=96, num_deconv_layers=2,
+                           num_deconv_filters=(32, 32),
+                           num_deconv_kernels=(4, 4),
+                           extra=dict(final_conv_kernel=1),
+                           out_channels=17))
+    model = vm.ViTPose(cfg)
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()})
+    model.eval()
+    return model
+
+
+# ---------------------------------------------------------------- memorize
+
+def _build_scenes(root, n=2):
+    os.makedirs(root + "/train2017", exist_ok=True)
+    os.makedirs(root + "/annotations", exist_ok=True)
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(n):
+        h, w = 240, 320
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([np.sin(xx / (7 + 3 * i)), np.cos(yy / (11 + 2 * i)),
+                        np.sin((xx + yy) / (13 + i))], -1)
+        img = ((img - img.min()) / np.ptp(img) * 255).astype(np.uint8)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(f"{root}/train2017/{name}", img)
+        images.append({"id": i, "file_name": name, "width": w, "height": h})
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.uniform(70, 250, 17)
+        kp[:, 1] = rng.uniform(60, 180, 17)
+        kp[:, 2] = 2
+        x0, y0 = kp[:, 0].min() - 10, kp[:, 1].min() - 10
+        bw, bh = kp[:, 0].max() - x0 + 10, kp[:, 1].max() - y0 + 10
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "keypoints": kp.ravel().tolist(), "num_keypoints": 17,
+            "bbox": [float(x0), float(y0), float(bw), float(bh)],
+            "area": float(bw * bh), "iscrowd": 0})
+    with open(f"{root}/annotations/person_keypoints_train2017.json",
+              "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    return images, annotations
+
+
+def _memorization_ok(mem, serving):
+    """Every heatmap channel of both memorized crops has ONE dominant
+    peak: the largest local max more than 3 heatmap px from the argmax
+    must stay below 0.8x the peak.  Loss alone is not a sufficient
+    convergence gate: a near-tied secondary peak can survive a 3e-4 MSE,
+    and the two pipelines may then pick DIFFERENT peaks (the training
+    trajectory is environment-sensitive at the 1e-7 level, so a fixed
+    epoch count lands in slightly different minima per host).  The crop
+    here is a plain host-side approximation (np slice + pad + cv2.resize)
+    — dominance is a property of the model, not of sampler bit-exactness.
+    """
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.models.vitpose import vitpose_forward
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    for i in range(2):
+        img = _scene(mem, i)
+        x1, y1, x2, y2 = np.round(_eval_box(mem, i)).astype(int)
+        crop = img[max(0, y1 - 10):y2 + 10, max(0, x1 - 10):x2 + 10]
+        h, w = crop.shape[:2]
+        if w / h < 3 / 4:
+            pw = int(3 / 4 * h) - w
+            crop = np.pad(crop, ((0, 0), (pw // 2, pw - pw // 2), (0, 0)))
+        else:
+            ph = int(w / (3 / 4)) - h
+            crop = np.pad(crop, ((ph // 2, ph - ph // 2), (0, 0), (0, 0)))
+        crop = cv2.resize(crop, (192, 256), interpolation=cv2.INTER_LINEAR)
+        x = ((crop / 255.0 - mean) / std).astype(np.float32)[None]
+        heat = np.asarray(vitpose_forward(serving, jnp.asarray(x), TINY))[0]
+        for k in range(heat.shape[0]):
+            hm = heat[k]
+            p1 = hm.max()
+            cy, cx = np.unravel_index(hm.argmax(), hm.shape)
+            masked = hm.copy()
+            masked[max(0, cy - 3):cy + 4, max(0, cx - 3):cx + 4] = -np.inf
+            if p1 < 0.3 or masked.max() > 0.8 * p1:
+                return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def memorized(tmp_path_factory):
+    """Train the tiny model to memorize two synthetic scenes (~40 s CPU),
+    save the serving npz, and export the reference-format state dict.
+    Trains in chunks until the memorization gate passes (see
+    _memorization_ok) so decode is well-conditioned on every keypoint."""
+    import jax
+    import jax.numpy as jnp
+    from easy_vitpose_tpu.convert.vitpose_torch import (
+        export_vitpose_state_dict)
+    from easy_vitpose_tpu.models.vitpose import init_vitpose_params
+    from easy_vitpose_tpu.train import step as trainlib
+    from easy_vitpose_tpu.train.dataset import (CocoPoseDataset,
+                                                batch_iterator)
+    from easy_vitpose_tpu.train.step import merge_bn_state
+    from easy_vitpose_tpu.utils.checkpoint import save_params
+
+    root = str(tmp_path_factory.mktemp("oracle"))
+    images, annotations = _build_scenes(root)
+    ds = CocoPoseDataset(root, "train2017", is_train=True, scale=False,
+                         flip_prob=0, rotate_prob=0, half_body_prob=0,
+                         seed=0)
+    params = init_vitpose_params(jax.random.PRNGKey(0), TINY)
+    tx = trainlib.make_optimizer(5e-3)
+    state = trainlib.init_train_state(params, tx)
+    step = jax.jit(trainlib.make_train_step(TINY, tx, use_amp=False))
+    key = jax.random.PRNGKey(0)
+    eval_ds = CocoPoseDataset(root, "train2017", is_train=False, scale=False,
+                              flip_prob=0, rotate_prob=0, half_body_prob=0,
+                              seed=0)
+    ckpt = os.path.join(root, "vitpose-tiny-coco.npz")
+    mem = dict(root=root, ckpt=ckpt, images=images,
+               annotations=annotations, ds=eval_ds)
+
+    def chunk(n):
+        nonlocal state
+        for _ in range(n):
+            for batch in batch_iterator(ds, 2, shuffle=False, prefetch=0):
+                b = {k: jnp.asarray(v)
+                     for k, v in batch.items() if k != "meta"}
+                state, _ = step(state, b, key)
+        serving = merge_bn_state(jax.tree.map(np.asarray, state["params"]),
+                                 jax.tree.map(np.asarray,
+                                              state["bn_state"]))
+        save_params(ckpt, serving)
+        return serving
+
+    serving = chunk(300)
+    for _ in range(3):
+        if _memorization_ok(mem, serving):
+            break
+        serving = chunk(150)
+    else:
+        pytest.fail("peak-dominance gate not reached after 750 epochs")
+    mem["sd"] = export_vitpose_state_dict(serving, TINY)
+    return mem
+
+
+def _eval_box(mem, i, dx=0.0):
+    """The instance's train crop rect minus the 10 px inference re-adds
+    (validate_e2e.py recipe) — so the pose crop reproduces what the model
+    memorized and heatmaps are well-conditioned peaks."""
+    x, y, bw, bh = mem["annotations"][i]["bbox"]
+    c, sc = mem["ds"]._xywh2cs(x, y, bw, bh)
+    W2, H2 = sc * 200 / 2
+    return np.array([c[0] - W2 + 10 + dx, c[1] - H2 + 10,
+                     c[0] + W2 - 10 + dx, c[1] + H2 - 10], np.float32)
+
+
+def _scene(mem, i):
+    path = os.path.join(mem["root"], "train2017",
+                        mem["images"][i]["file_name"])
+    return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+
+def _our_vitinference(mem, rows, **kw):
+    from easy_vitpose_tpu.pipeline.inference import VitInference
+    inst = VitInference(mem["ckpt"], model_name="s", dataset="coco",
+                        model_cfg=TINY, dtype="fp32",
+                        single_dispatch=False, **kw)
+
+    class Stub:
+        conf = 0.25
+        calls = 0
+
+        def __call__(self, im, frame_hw=None):
+            Stub.calls += 1
+            return rows
+
+    inst._detector = Stub()
+    return inst, Stub
+
+
+def _assert_keypoints_match(out_ref, out_us, pos_atol=0.5, score_atol=0.05):
+    assert sorted(out_ref) == sorted(out_us)
+    for i in sorted(out_ref):
+        a, b = np.asarray(out_ref[i]), np.asarray(out_us[i])
+        assert a.shape == b.shape == (17, 3)
+        # peakedness sanity: a flat heatmap would make this comparison
+        # meaningless (see module docstring)
+        assert a[:, 2].min() > 0.3, f"id {i}: heatmaps not peaked"
+        np.testing.assert_allclose(b[:, :2], a[:, :2], atol=pos_atol,
+                                   rtol=0, err_msg=f"id {i} positions")
+        np.testing.assert_allclose(b[:, 2], a[:, 2], atol=score_atol,
+                                   rtol=0, err_msg=f"id {i} scores")
+
+
+# ------------------------------------------------------------------- tests
+
+def test_image_mode_two_person_parity(ref_pkg, memorized):
+    """Image mode, two people on one canvas (scenes side by side), one
+    sub-gate detection both sides must drop: the final keypoint dicts of
+    the live reference pipeline and ours agree id-for-id."""
+    ref_model = build_ref_tiny(ref_pkg, memorized["sd"])
+    canvas = np.concatenate([_scene(memorized, 0), _scene(memorized, 1)],
+                            axis=1)
+    rows = np.array(
+        [list(_eval_box(memorized, 0)) + [0.9, 0.0],
+         list(_eval_box(memorized, 1, dx=320.0)) + [0.8, 0.0],
+         [5, 5, 60, 60, 0.2, 0.0]],      # < 0.35 -> gated out by both
+        np.float32)
+
+    ref = make_ref_vitinference(ref_pkg, ref_model, rows)
+    out_ref = ref.inference(canvas)
+    ours, _ = _our_vitinference(memorized, rows)
+    out_us = ours.inference(canvas)
+
+    assert sorted(out_ref) == [0, 1]     # the 0.2 row was dropped
+    _assert_keypoints_match(out_ref, out_us)
+
+
+def test_single_pose_video_parity_and_cadence(ref_pkg, memorized):
+    """single_pose video mode: no tracker on either side, so the detector
+    must run EVERY frame (reference inference.py:234-236 — the cadence
+    branch requires a tracker); per-frame keypoints agree."""
+    ref_model = build_ref_tiny(ref_pkg, memorized["sd"])
+    img = _scene(memorized, 0)
+    rows = np.array([list(_eval_box(memorized, 0)) + [0.9, 0.0]],
+                    np.float32)
+
+    ref = make_ref_vitinference(ref_pkg, ref_model, rows,
+                                is_video=True, single_pose=True,
+                                yolo_step=4)
+    ours, stub = _our_vitinference(memorized, rows, is_video=True,
+                                   single_pose=True, yolo_step=4)
+    for _ in range(4):
+        out_ref = ref.inference(img)
+        out_us = ours.inference(img)
+        _assert_keypoints_match(out_ref, out_us)
+    assert ref.yolo.calls == 4           # yolo_step ignored without tracker
+    assert stub.calls == 4
