@@ -428,7 +428,8 @@ class VitInference:
         if self.save_state:
             self._img = img
             self._yolo_res = results
-            self._tracker_res = (rows[:, :4].round().astype(int), ids, scores)
+            self._tracker_res = (self._saved_bboxes(rows, img.shape[:2]),
+                                 ids, scores)
             self._keypoints = frame_keypoints
             self._scores_bbox = scores_bbox
         return frame_keypoints
@@ -591,10 +592,28 @@ class VitInference:
                 res_pd, ids, scores, results = per_frame[i]
                 self._window_states.append(
                     (frames[i], results,
-                     (res_pd[:, :4].round().astype(int), ids, scores),
+                     (self._saved_bboxes(res_pd, frames[i].shape[:2]),
+                      ids, scores),
                      outputs[i], dict(zip(ids, scores))))
             self.select_frame_state(F - 1)
         return outputs
+
+    @staticmethod
+    def _saved_bboxes(rows, hw):
+        """State-saving bbox convention: the reference mutates each rounded
+        bbox in its pose loop (±10 px inflation clipped to the frame,
+        reference inference.py:258-263) BEFORE stashing it in
+        ``_tracker_res`` — so ``draw()`` renders the actual crop rects.
+        Mirror of the device-side ``ops/preprocess.py::crop_geometry``."""
+        from ..ops.preprocess import PAD_BBOX
+        H, W = hw
+        b = np.asarray(rows[:, :4]).round().astype(int)
+        if len(b):
+            b[:, [0, 2]] = np.clip(b[:, [0, 2]] + [-PAD_BBOX, PAD_BBOX],
+                                   0, W)
+            b[:, [1, 3]] = np.clip(b[:, [1, 3]] + [-PAD_BBOX, PAD_BBOX],
+                                   0, H)
+        return b
 
     def _apply_smoothing(self, kps):
         """Per-track One-Euro smoothing (ops/one_euro.py
@@ -669,7 +688,8 @@ class VitInference:
         if self.save_state:
             self._img = img
             self._yolo_res = results
-            self._tracker_res = (bboxes_i, ids, scores)
+            self._tracker_res = (self._saved_bboxes(res_pd, img.shape[:2]),
+                                 ids, scores)
             self._keypoints = frame_keypoints
             self._scores_bbox = scores_bbox
         return frame_keypoints

@@ -67,6 +67,37 @@ def _stub(name, **attrs):
     return mod
 
 
+class _KalmanFilter:
+    """Test double for ``filterpy.kalman.KalmanFilter`` implementing its
+    documented predict/update equations (Joseph-form covariance update,
+    textbook KF) — just enough for the reference's SORT (sort.py:105-155),
+    so the reference tracker can run LIVE in the video-mode test below.
+    Only the attributes/methods SORT touches exist."""
+
+    def __init__(self, dim_x, dim_z):
+        self.dim_x, self.dim_z = dim_x, dim_z
+        self.x = np.zeros((dim_x, 1))
+        self.P = np.eye(dim_x)
+        self.Q = np.eye(dim_x)
+        self.F = np.eye(dim_x)
+        self.H = np.zeros((dim_z, dim_x))
+        self.R = np.eye(dim_z)
+
+    def predict(self):
+        self.x = self.F @ self.x
+        self.P = self.F @ self.P @ self.F.T + self.Q
+
+    def update(self, z):
+        z = np.asarray(z, np.float64).reshape(self.dim_z, 1)
+        y = z - self.H @ self.x
+        PHT = self.P @ self.H.T
+        S = self.H @ PHT + self.R
+        K = PHT @ np.linalg.inv(S)
+        self.x = self.x + K @ y
+        I_KH = np.eye(self.dim_x) - K @ self.H
+        self.P = I_KH @ self.P @ I_KH.T + K @ self.R @ K.T
+
+
 @pytest.fixture(scope="module")
 def ref_pkg():
     """Import /root/reference/easy_ViTPose under an alias package name so
@@ -79,7 +110,7 @@ def ref_pkg():
     sk = _stub("skimage")
     sk.io = _stub("skimage.io")
     fp = _stub("filterpy")
-    fp.kalman = _stub("filterpy.kalman", KalmanFilter=object)
+    fp.kalman = _stub("filterpy.kalman", KalmanFilter=_KalmanFilter)
     name = "ref_easy_ViTPose"
     if name in sys.modules:
         return sys.modules[name]
@@ -321,20 +352,22 @@ def _our_vitinference(mem, rows, **kw):
 
         def __call__(self, im, frame_hw=None):
             Stub.calls += 1
-            return rows
+            return Stub.rows
 
+    Stub.rows = rows
     inst._detector = Stub()
     return inst, Stub
 
 
-def _assert_keypoints_match(out_ref, out_us, pos_atol=0.5, score_atol=0.05):
+def _assert_keypoints_match(out_ref, out_us, pos_atol=0.5, score_atol=0.05,
+                            min_score=0.3):
     assert sorted(out_ref) == sorted(out_us)
     for i in sorted(out_ref):
         a, b = np.asarray(out_ref[i]), np.asarray(out_us[i])
         assert a.shape == b.shape == (17, 3)
         # peakedness sanity: a flat heatmap would make this comparison
         # meaningless (see module docstring)
-        assert a[:, 2].min() > 0.3, f"id {i}: heatmaps not peaked"
+        assert a[:, 2].min() > min_score, f"id {i}: heatmaps not peaked"
         np.testing.assert_allclose(b[:, :2], a[:, :2], atol=pos_atol,
                                    rtol=0, err_msg=f"id {i} positions")
         np.testing.assert_allclose(b[:, 2], a[:, 2], atol=score_atol,
@@ -385,3 +418,66 @@ def test_single_pose_video_parity_and_cadence(ref_pkg, memorized):
         _assert_keypoints_match(out_ref, out_us)
     assert ref.yolo.calls == 4           # yolo_step ignored without tracker
     assert stub.calls == 4
+
+
+def test_tracker_video_mode_parity(ref_pkg, memorized):
+    """Video mode with the LIVE reference SORT: the reference tracker
+    (sort.py, running on the faithful KF double above) and ours must
+    assign the same ids, run the detector on the same frames (0,1,2
+    warm-up then every yolo_step, inference.py:234-236), produce pose
+    from the same Kalman-UPDATED boxes on detection frames, and from the
+    same Kalman-PREDICTED boxes on coast frames."""
+    sort_mod = sys.modules["ref_easy_ViTPose.sort"]
+    sort_mod.KalmanBoxTracker.count = 0   # class-global id counter
+    ref_model = build_ref_tiny(ref_pkg, memorized["sd"])
+    img = _scene(memorized, 0)
+    base = _eval_box(memorized, 0)
+
+    def rows_at(t):
+        # drift the detection 2 px/frame so the KF velocity state is live
+        return np.array([[base[0] + 2.0 * t, base[1],
+                          base[2] + 2.0 * t, base[3], 0.9, 0.0]],
+                        np.float32)
+
+    ref = make_ref_vitinference(ref_pkg, ref_model, rows_at(0),
+                                is_video=True, yolo_step=2)
+    ref.save_state = True
+    ours, stub = _our_vitinference(memorized, rows_at(0),
+                                   is_video=True, yolo_step=2)
+    assert ref.tracker is not None
+
+    saw_track = False
+    for t in range(7):
+        ref.yolo.rows = rows_at(t)
+        stub.rows = rows_at(t)
+        out_ref = ref.inference(img)
+        out_us = ours.inference(img)
+        assert sorted(out_ref) == sorted(out_us), f"frame {t} ids differ"
+        # the KF boxes themselves: integer-rounded crop rects must be
+        # IDENTICAL (our f32 batched Joseph-form KF vs the reference's
+        # f64 filter agree to ~1e-4 px, far inside rounding)
+        rb, rids, _ = ref._tracker_res
+        ob, oids, _ = ours._tracker_res
+        assert list(rids) == list(oids)
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(ob),
+                                      err_msg=f"frame {t} tracker boxes")
+        if out_ref:
+            saw_track = True
+            # crops here are CONTENT-SHIFTED vs the memorized rect (the
+            # box drifts), so heatmaps are off-manifold and the unbiased
+            # log-Taylor refinement amplifies the documented sampler
+            # difference — tail tolerance 2.5 px.  The median gate keeps
+            # bug-sensitivity: any systematic crop/pad off-by-one shifts
+            # EVERY keypoint >= 1 px and trips it.
+            # min_score 0.15: peak amplitude decays as the crop drifts off
+            # the memorized content (score by frame 6 ~0.3 here)
+            _assert_keypoints_match(out_ref, out_us, pos_atol=2.5,
+                                    min_score=0.15)
+            for i in out_ref:
+                d = np.abs(np.asarray(out_ref[i])[:, :2]
+                           - np.asarray(out_us[i])[:, :2])
+                assert np.median(d) < 0.75, f"frame {t} systematic shift"
+    assert saw_track, "tracker never emitted a track"
+    # cadence: warm-up frames 0,1,2 then t % yolo_step == 0 -> t=4, 6
+    assert ref.yolo.calls == 5
+    assert stub.calls == 5
