@@ -18,47 +18,57 @@ except ImportError:  # pragma: no cover - cv2 is expected in this image
     cv2 = None
 
 
-def _palette(name: str, n: int) -> np.ndarray:
-    """n RGB colors (0-255 uint8) sampled from a colormap."""
+def _palette_bgr(name: str, n: int) -> list:
+    """Colormap -> list of BGR uint8 colors, EXACTLY as the reference
+    extracts them (vit_utils/visualization.py:380-387, 427-434): listed
+    colormaps contribute ALL their ``.colors`` (``n`` is ignored, like the
+    reference's AttributeError-guarded first branch); continuous ones are
+    sampled at ``linspace(0, 1, n)``; both ``np.round``-ed to uint8 and
+    channel-reversed to BGR."""
     try:
         import matplotlib.pyplot as plt
         cmap = plt.get_cmap(name)
-        cols = (np.array([cmap(i / max(n - 1, 1))[:3] for i in range(n)])
-                * 255).astype(np.uint8)
-        return cols
+        if hasattr(cmap, "colors"):
+            return np.round(np.array(cmap.colors) * 255) \
+                     .astype(np.uint8)[:, ::-1].tolist()
+        return np.round(np.array(cmap(np.linspace(0, 1, n))) * 255) \
+                 .astype(np.uint8)[:, -2::-1].tolist()
     except Exception:
-        # HSV wheel fallback
+        # HSV wheel fallback (matplotlib-less environments)
         hs = np.linspace(0, 179, n, endpoint=False).astype(np.uint8)
         hsv = np.stack([hs, np.full(n, 255, np.uint8),
                         np.full(n, 255, np.uint8)], -1)[None]
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)[0]
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0].tolist()
 
 
 def draw_points(img: np.ndarray, points: np.ndarray, person_index: int = 0,
-                points_color_palette: str = "gist_rainbow",
-                points_palette_samples: int = 10,
+                points_color_palette: str = "tab20",
+                points_palette_samples: int = 16,
                 confidence_threshold: float = 0.5) -> np.ndarray:
-    """points: (K, 3) rows (y, x, score)."""
-    palette = _palette(points_color_palette, points_palette_samples)
-    circle_size = max(1, min(img.shape[:2]) // 160)
+    """points: (K, 3) rows (y, x, score).  Pixel-exact twin of the
+    reference's draw_points (vit_utils/visualization.py:360-397):
+    truncated int centers, ``min(H, W) // 150`` radius, color i mod the
+    extracted palette length."""
+    colors = _palette_bgr(points_color_palette, points_palette_samples)
+    circle_size = max(1, min(img.shape[:2]) // 150)
     for i, (y, x, s) in enumerate(points):
         if s <= confidence_threshold:
             continue
-        color = tuple(int(c) for c in
-                      palette[i % points_palette_samples])[::-1]  # RGB->BGR
-        cv2.circle(img, (int(round(x)), int(round(y))), circle_size,
-                   color, -1)
+        cv2.circle(img, (int(x), int(y)), circle_size,
+                   tuple(colors[i % len(colors)]), -1)
     return img
 
 
 def draw_skeleton(img: np.ndarray, points: np.ndarray,
                   skeleton: Sequence[Sequence[int]], person_index: int = 0,
-                  skeleton_color_palette: str = "jet",
+                  skeleton_color_palette: str = "Set2",
                   skeleton_palette_samples: int = 8,
                   confidence_threshold: float = 0.5) -> np.ndarray:
-    palette = _palette(skeleton_color_palette, skeleton_palette_samples)
-    color = tuple(int(c) for c in
-                  palette[person_index % skeleton_palette_samples])[::-1]
+    """Pixel-exact twin of the reference's draw_skeleton
+    (vit_utils/visualization.py:399-442); the bounds guard on joint
+    indices is extra robustness the reference lacks."""
+    colors = _palette_bgr(skeleton_color_palette, skeleton_palette_samples)
+    color = tuple(colors[person_index % len(colors)])
     for (a, b) in skeleton:
         if a >= len(points) or b >= len(points):
             continue
@@ -66,17 +76,16 @@ def draw_skeleton(img: np.ndarray, points: np.ndarray,
         yb, xb, sb = points[b]
         if sa <= confidence_threshold or sb <= confidence_threshold:
             continue
-        cv2.line(img, (int(round(xa)), int(round(ya))),
-                 (int(round(xb)), int(round(yb))), color, 2)
+        cv2.line(img, (int(xa), int(ya)), (int(xb), int(yb)), color, 2)
     return img
 
 
 def draw_points_and_skeleton(img: np.ndarray, points: np.ndarray,
                              skeleton: Sequence[Sequence[int]],
                              person_index: int = 0,
-                             points_color_palette: str = "gist_rainbow",
-                             skeleton_color_palette: str = "jet",
-                             points_palette_samples: int = 10,
+                             points_color_palette: str = "tab20",
+                             skeleton_color_palette: str = "Set2",
+                             points_palette_samples: int = 16,
                              skeleton_palette_samples: int = 8,
                              confidence_threshold: float = 0.5) -> np.ndarray:
     img = draw_skeleton(img, points, skeleton, person_index,

@@ -481,3 +481,54 @@ def test_tracker_video_mode_parity(ref_pkg, memorized):
     # cadence: warm-up frames 0,1,2 then t % yolo_step == 0 -> t=4, 6
     assert ref.yolo.calls == 5
     assert stub.calls == 5
+
+
+@pytest.mark.parametrize("palettes", [
+    # the args VitInference.draw actually passes (inference.py:303-310)
+    dict(points_color_palette="gist_rainbow", points_palette_samples=10,
+         skeleton_color_palette="jet", skeleton_palette_samples=8),
+    # the reference function DEFAULTS — listed colormaps, whose .colors
+    # branch ignores palette_samples entirely
+    dict(points_color_palette="tab20", points_palette_samples=16,
+         skeleton_color_palette="Set2", skeleton_palette_samples=8),
+])
+def test_renderer_pixel_parity(ref_pkg, palettes):
+    """Our draw_points_and_skeleton is a PIXEL-EXACT twin of the
+    reference's (vit_utils/visualization.py:360-481): same truncated int
+    rasterization, min(H,W)//150 radius, np.round palette extraction,
+    listed-vs-continuous colormap branches, BGR order."""
+    ref_vis = importlib.import_module("ref_easy_ViTPose.vit_utils"
+                                      ".visualization")
+    from easy_vitpose_tpu.skeletons import joints_dict
+    from easy_vitpose_tpu.utils.visualization import (
+        draw_points_and_skeleton)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    pts = np.stack([rng.uniform(5, 470, 17), rng.uniform(5, 630, 17),
+                    rng.uniform(0, 1, 17)], -1)   # (y, x, conf), some < 0.5
+    skel = joints_dict()["coco"]["skeleton"]
+    for person in (0, 3, 11):
+        a = ref_vis.draw_points_and_skeleton(
+            img.copy(), pts, skel, person_index=person, **palettes)
+        b = draw_points_and_skeleton(
+            img.copy(), pts, skel, person_index=person, **palettes)
+        np.testing.assert_array_equal(a, b,
+                                      err_msg=f"person_index={person}")
+
+
+def test_draw_bboxes_pixel_parity(ref_pkg):
+    """draw_bboxes matches the reference's labelled-box rendering
+    (vit_utils/inference.py:19-38) pixel for pixel, incl. the y1<=20
+    label flip."""
+    ref_inf = importlib.import_module("ref_easy_ViTPose.vit_utils"
+                                      ".inference")
+    from easy_vitpose_tpu.utils.visualization import draw_bboxes
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.array([[10, 30, 120, 200], [150, 5, 300, 90]])  # y1<=20 flip
+    ids = [1, 7]
+    scores = [0.91, 0.4]
+    a = ref_inf.draw_bboxes(img.copy(), boxes, ids, scores)
+    b = draw_bboxes(img.copy(), boxes, ids, scores)
+    np.testing.assert_array_equal(a, b)
